@@ -1,0 +1,197 @@
+"""Exact modular arithmetic primitives for TPU (int32 lanes, int8 MXU).
+
+The TPU has no 64-bit integers and its MXU multiplies int8 (accumulating in
+int32) or floats.  Everything here is built so that **no intermediate ever
+exceeds int32 range**, making results exact on TPU and CPU alike:
+
+  * values live in [0, p) with p <= P_MAX < 2**15, so a product of two
+    reduced values is < 2**30;
+  * matmul contractions split operands into two signed 8-bit limbs and use
+    native int8 x int8 -> int32 ``dot_general`` (the MXU path), recombining
+    with per-limb modular reduction.
+
+This module replaces the reference's i128 scalar arithmetic in ``Zq``
+(``/root/reference/src/algebraic.rs:25-297``) with batched lane arithmetic.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Largest modulus for which the int8 limb decomposition below is valid:
+# x <= P_MAX-1 must satisfy hi-limb <= 127 after centering the lo limb.
+# x - lo <= x + 128 <= 127*256 + 127 + ... we require x + 128 <= 127*256+128
+P_MAX = 32513  # primes used must be <= this; 32512 = 127*256 + 128
+
+
+def mod_pos(x: jax.Array, m) -> jax.Array:
+    """x mod m with nonnegative result (jnp.remainder already does this for
+    positive m).  Mirrors ``mod_positive`` (reference ``util.rs:16-23``)."""
+    return jnp.remainder(x, jnp.asarray(m, dtype=x.dtype))
+
+
+def split_i8(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Split int32 values in [0, P_MAX) into (hi, lo) signed int8 limbs with
+    x == hi * 256 + lo, lo in [-128, 128), hi in [0, 128)."""
+    lo = ((x + 128) & 255) - 128
+    hi = (x - lo) >> 8
+    return hi.astype(jnp.int8), lo.astype(jnp.int8)
+
+
+def _dot_i8(a: jax.Array, b: jax.Array, dn) -> jax.Array:
+    return jax.lax.dot_general(a, b, dimension_numbers=dn,
+                               preferred_element_type=jnp.int32)
+
+
+# Contraction-size limit for a single int8 pass: |limb product| <= 128*128,
+# so the int32 accumulator is safe for up to 2**31 / 2**14 = 131072 terms.
+CHUNK = 1 << 16
+
+
+def modmul_mm(a: jax.Array, b: jax.Array, p, *, batch_dims=0) -> jax.Array:
+    """Exact (a @ b) mod p on the MXU.
+
+    a: (..., B, m, n) int32 in [0, p);  b: (..., B, n, k) int32 in [0, p);
+    leading `batch_dims` axes are batched.  Returns (..., B, m, k) in [0, p).
+
+    p must be <= P_MAX.  Contractions longer than CHUNK are chunked with a
+    modular reduction between chunks.
+    """
+    n = a.shape[-1]
+    if n > CHUNK:
+        nchunks = (n + CHUNK - 1) // CHUNK
+        acc = None
+        for c in range(nchunks):
+            lo_i, hi_i = c * CHUNK, min((c + 1) * CHUNK, n)
+            part = modmul_mm(a[..., lo_i:hi_i], b[..., lo_i:hi_i, :], p,
+                             batch_dims=batch_dims)
+            acc = part if acc is None else mod_pos(acc + part, p)
+        return acc
+
+    bd = tuple(range(batch_dims))
+    dn = (((a.ndim - 1,), (b.ndim - 2,)), (bd, bd))
+    a_hi, a_lo = split_i8(a)
+    b_hi, b_lo = split_i8(b)
+    p11 = _dot_i8(a_hi, b_hi, dn)
+    p10 = _dot_i8(a_hi, b_lo, dn) + _dot_i8(a_lo, b_hi, dn)
+    p00 = _dot_i8(a_lo, b_lo, dn)
+    # |p10| can reach 2 * n * 2**14 = 2**31 for n = CHUNK: halve the chunk
+    # bound via the fact the two addends are each < n * 2**14 <= 2**30. Safe.
+    c16 = (1 << 16) % int(p)
+    c8 = (1 << 8) % int(p)
+    r = mod_pos(p11, p) * c16 % int(p) + mod_pos(p10, p) * c8 % int(p) \
+        + mod_pos(p00, p)
+    return mod_pos(r, p)
+
+
+def modmul_point(a: jax.Array, b: jax.Array, p) -> jax.Array:
+    """Elementwise (a * b) mod p for values in [0, p), p <= P_MAX (product
+    < 2**30, exact in int32)."""
+    return mod_pos(a * b, p)
+
+
+def mod_scale(a: jax.Array, s, p) -> jax.Array:
+    """(a * s) mod p for a scalar (or broadcastable) multiplier in [0, p)."""
+    return mod_pos(a * s, p)
+
+
+# ---------------------------------------------------------------------------
+# Emulated 64-bit unsigned accumulation on int32 lanes.
+#
+# Used for exact norm sums (fixing the reference's Check-14 f64 precision bug,
+# README.md:10) and for the big-q code path.  A u64 is a pair (hi, lo) of
+# int32 arrays interpreted as uint32 words.
+# ---------------------------------------------------------------------------
+
+def u64_make(lo: jax.Array) -> tuple[jax.Array, jax.Array]:
+    return jnp.zeros_like(lo), lo
+
+
+def _u32_add(a, b):
+    """uint32 add with carry out, on int32 carriers (bitwise-exact wraparound)."""
+    s = (a + b).astype(jnp.int32)  # wraps like uint32
+    # carry iff unsigned sum overflowed: compare as unsigned via bias trick
+    au = a.astype(jnp.uint32)
+    su = s.astype(jnp.uint32)
+    carry = (su < au).astype(jnp.int32)
+    return s, carry
+
+
+def u64_add(x: tuple, y: tuple) -> tuple:
+    xh, xl = x
+    yh, yl = y
+    lo, c = _u32_add(xl, yl)
+    hi = (xh + yh + c).astype(jnp.int32)
+    return hi, lo
+
+
+def u64_add_u32(x: tuple, y_lo: jax.Array) -> tuple:
+    return u64_add(x, (jnp.zeros_like(y_lo), y_lo))
+
+
+def mul32x32_u64(a: jax.Array, b: jax.Array) -> tuple:
+    """Full 64-bit product of two nonneg int32 values (as u64 pair), via
+    16-bit half-words — no 64-bit hardware ops required."""
+    a = a.astype(jnp.uint32)
+    b = b.astype(jnp.uint32)
+    a_lo, a_hi = a & 0xFFFF, a >> 16
+    b_lo, b_hi = b & 0xFFFF, b >> 16
+    ll = a_lo * b_lo                      # < 2**32, exact in uint32
+    lh = a_lo * b_hi
+    hl = a_hi * b_lo
+    hh = a_hi * b_hi
+    # lh <= (2**16-1)**2 < 2**32 - 2**17; + (ll>>16) < 2**16: no overflow.
+    mid = lh + (ll >> 16)
+    mid_sum = mid + hl                    # may wrap: detect carry unsigned
+    carry = (mid_sum < mid).astype(jnp.uint32)
+    lo = (ll & 0xFFFF) | ((mid_sum & 0xFFFF) << 16)
+    hi = hh + (mid_sum >> 16) + (carry << 16)
+    return hi.astype(jnp.int32), lo.astype(jnp.int32)
+
+
+def u64_sum(values_sq: jax.Array, axis=None) -> tuple:
+    """Exact sum of nonneg int32 values (< 2**31) as an emulated u64.
+
+    Splits each value into 16-bit halves, sums each half in int32 over chunks
+    small enough to be exact, then recombines with carries.
+    """
+    x = values_sq.reshape(-1)
+    lo16 = x & 0xFFFF
+    hi16 = x >> 16          # < 2**15
+    # chunk so that int32 partial sums cannot overflow: 2**16 values * 2**16
+    csz = 1 << 15
+    npad = (-x.shape[0]) % csz
+    lo16 = jnp.pad(lo16, (0, npad)).reshape(-1, csz)
+    hi16 = jnp.pad(hi16, (0, npad)).reshape(-1, csz)
+    lo_part = jnp.sum(lo16, axis=1)  # <= 2**15 * 2**16 = 2**31 - eps ... keep
+    hi_part = jnp.sum(hi16, axis=1)  # <= 2**15 * 2**15 = 2**30
+    acc = (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+
+    def body(i, acc):
+        a = u64_add(acc, (jnp.zeros((), jnp.int32), lo_part[i]))
+        hp = hi_part[i]
+        return u64_add(a, ((hp >> 16).astype(jnp.int32),
+                           ((hp << 16)).astype(jnp.int32)))
+
+    acc = jax.lax.fori_loop(0, lo_part.shape[0], body, acc)
+    return acc
+
+
+def u64_to_py(x: tuple) -> int:
+    """Host-side: emulated u64 -> Python int."""
+    hi = int(np.uint32(np.asarray(x[0])))
+    lo = int(np.uint32(np.asarray(x[1])))
+    return (hi << 32) | lo
+
+
+def u64_leq_const(x: tuple, const: int) -> jax.Array:
+    """x <= const for emulated u64 and a Python-int constant < 2**64."""
+    chi = np.int32(np.uint32(const >> 32))
+    clo = np.int32(np.uint32(const & 0xFFFFFFFF))
+    xh = x[0].astype(jnp.uint32)
+    xl = x[1].astype(jnp.uint32)
+    uhi = jnp.uint32(np.uint32(chi))
+    ulo = jnp.uint32(np.uint32(clo))
+    return (xh < uhi) | ((xh == uhi) & (xl <= ulo))

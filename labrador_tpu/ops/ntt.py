@@ -1,0 +1,245 @@
+"""Negacyclic NTT over Rq = Zq[X]/(X^d + 1) as batched MXU matmuls.
+
+Role: the TPU-native replacement for concrete-ntt's ``native64::Plan32``
+(reference ``constants.rs:197``, used by ``Rq::multiply`` at
+``algebraic.rs:379-404``).  Strategy:
+
+  * The default modulus q (8191) is **not** NTT-friendly, so — like the
+    reference — we compute the exact *integer* negacyclic convolution of the
+    residue representatives and reduce mod q at the end.
+  * Exactness comes from a CRT over small internal primes p ≡ 1 (mod 2d),
+    p < 2^15 (int32-safe).  Unlike the reference's silent two's-complement
+    wraparound at 2^64 (``algebraic.rs:417-419``), the prime set is sized so
+    reconstruction is exact for any accumulation the protocol performs.
+  * For d = 64 the transform itself is a (batch, 64) @ (64, 64) matmul per
+    prime — O(d^2) multiplies instead of O(d log d), but they run on the MXU
+    with perfect lane shapes and zero shuffles, which is the fast shape on
+    TPU.  Transforms and all linear algebra happen in the evaluation domain;
+    inverse transform + Garner mixed-radix reconstruction happen once per
+    protocol phase.
+
+Layout convention: evaluation-domain tensors carry a leading prime axis
+``(P, ..., d)``; coefficient-domain tensors are ``(..., d)`` int32 in [0, q).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..params import LabradorParams, select_crt_primes
+from .modmath import mod_pos, modmul_mm, modmul_point
+
+
+def _primitive_root(p: int) -> int:
+    factors = []
+    n = p - 1
+    f = 2
+    while f * f <= n:
+        if n % f == 0:
+            factors.append(f)
+            while n % f == 0:
+                n //= f
+        f += 1
+    if n > 1:
+        factors.append(n)
+    for g in range(2, p):
+        if all(pow(g, (p - 1) // f, p) != 1 for f in factors):
+            return g
+    raise ValueError(f"no primitive root for {p}")
+
+
+@dataclass(frozen=True)
+class NttPlan:
+    """Precomputed transform + CRT data for a (q, d, primes) triple."""
+
+    q: int
+    d: int
+    primes: tuple[int, ...]
+    V: np.ndarray      # (P, d, d) forward:  xhat = x @ V[p]  (evals at phi^(2k+1))
+    W: np.ndarray      # (P, d, d) inverse:  x   = xhat @ W[p]
+    garner_inv: np.ndarray   # (P, P) inv(p_j) mod p_k for j < k, else 0
+    m_half_digits: tuple[int, ...]  # mixed-radix digits of floor(M/2)
+    prefix_mod_q: tuple[int, ...]   # (prod_{i<j} p_i) mod q
+    m_mod_q: int
+
+    @property
+    def n_primes(self) -> int:
+        return len(self.primes)
+
+
+@lru_cache(maxsize=None)
+def make_plan(q: int, d: int = 64, max_accum: int = 1 << 20) -> NttPlan:
+    from .modmath import P_MAX
+    if q > P_MAX:
+        raise NotImplementedError(
+            f"q={q} exceeds the int32 single-limb kernel range (q <= {P_MAX});"
+            " the multi-limb big-q path is not implemented yet"
+        )
+    primes = select_crt_primes(q, d, max_accum)
+    P = len(primes)
+    V = np.zeros((P, d, d), np.int32)
+    W = np.zeros((P, d, d), np.int32)
+    for pi, p in enumerate(primes):
+        g = _primitive_root(p)
+        phi = pow(g, (p - 1) // (2 * d), p)
+        assert pow(phi, d, p) == p - 1, "phi must be a 2d-th root with phi^d=-1"
+        d_inv = pow(d, p - 2, p)
+        for j in range(d):
+            for k in range(d):
+                V[pi, j, k] = pow(phi, ((2 * k + 1) * j) % (2 * d), p)
+                W[pi, k, j] = d_inv * pow(phi, (-(2 * k + 1) * j) % (2 * d), p) % p
+    ginv = np.zeros((P, P), np.int64)
+    for k in range(P):
+        for j in range(k):
+            ginv[j, k] = pow(primes[j], primes[k] - 2, primes[k])
+    M = 1
+    for p in primes:
+        M *= p
+    mh = M // 2
+    mh_digits = []
+    for p in primes:
+        mh_digits.append(mh % p)
+        mh //= p
+    prefix = []
+    acc = 1
+    for p in primes:
+        prefix.append(acc % q)
+        acc *= p
+    return NttPlan(q=q, d=d, primes=primes, V=V, W=W,
+                   garner_inv=ginv, m_half_digits=tuple(mh_digits),
+                   prefix_mod_q=tuple(prefix), m_mod_q=M % q)
+
+
+@lru_cache(maxsize=None)
+def plan_for(params: LabradorParams) -> NttPlan:
+    return make_plan(params.q, params.d, max_accum=max(2 * params.kappa, 1024))
+
+
+# ---------------------------------------------------------------------------
+# Transforms
+# ---------------------------------------------------------------------------
+
+def ntt_fwd(x: jax.Array, plan: NttPlan) -> jax.Array:
+    """Coefficient domain (..., d) int32 in [0, q)  ->  eval domain (P, ..., d).
+
+    One exact modular matmul against the twiddle matrix per prime (MXU).
+    """
+    outs = []
+    shape = x.shape
+    x2 = x.reshape(-1, plan.d)
+    for pi, p in enumerate(plan.primes):
+        xp = mod_pos(x2, p)
+        V = jnp.asarray(plan.V[pi])
+        outs.append(modmul_mm(xp, V, p).reshape(shape))
+    return jnp.stack(outs)
+
+
+def ntt_inv_modq(xhat: jax.Array, plan: NttPlan) -> jax.Array:
+    """Eval domain (P, ..., d) -> coefficient domain (..., d) in [0, q).
+
+    Per-prime inverse transform, then Garner mixed-radix reconstruction of
+    the signed integer coefficient, reduced mod q.  Exact for any integer
+    |X| < M/2 where M = prod(primes).
+    """
+    P = plan.n_primes
+    shape = xhat.shape[1:]
+    res = []
+    for pi, p in enumerate(plan.primes):
+        W = jnp.asarray(plan.W[pi])
+        r = modmul_mm(xhat[pi].reshape(-1, plan.d), W, p).reshape(shape)
+        res.append(r)
+
+    # Garner: mixed-radix digits v_k in [0, p_k)
+    v = [res[0]]
+    for k in range(1, P):
+        p = plan.primes[k]
+        t = mod_pos(res[k] - v[0], p)
+        for j in range(1, k):
+            t = mod_pos(t * int(plan.garner_inv[j - 1, k]), p)
+            t = mod_pos(t - v[j], p)
+        # multiply in the remaining inverse factor for j = k-1
+        t = mod_pos(t * int(plan.garner_inv[k - 1, k]), p)
+        v.append(t)
+
+    # X mod q = sum v_j * prefix_j  (mod q), minus M mod q if X was negative
+    # (i.e. the mixed-radix value exceeds M/2).
+    out = jnp.zeros(shape, jnp.int32)
+    for j in range(P):
+        out = out + mod_pos(v[j] * plan.prefix_mod_q[j], plan.q)
+    # lexicographic compare of digits (most significant last) vs floor(M/2)
+    gt = jnp.zeros(shape, bool)
+    for j in range(P):
+        mj = plan.m_half_digits[j]
+        gt = (v[j] > mj) | ((v[j] == mj) & gt)
+    out = out - jnp.where(gt, plan.m_mod_q, 0)
+    return mod_pos(out, plan.q)
+
+
+def ntt_inv_modp(xhat: jax.Array, plan: NttPlan) -> jax.Array:
+    """Eval -> per-prime coefficient residues (P, ..., d), no reconstruction.
+    Useful when staying in CRT form across phases."""
+    outs = []
+    for pi, p in enumerate(plan.primes):
+        W = jnp.asarray(plan.W[pi])
+        outs.append(modmul_mm(xhat[pi].reshape(-1, plan.d), W, p)
+                    .reshape(xhat.shape[1:]))
+    return jnp.stack(outs)
+
+
+# ---------------------------------------------------------------------------
+# Convenience ring ops built on the transforms
+# ---------------------------------------------------------------------------
+
+def eval_mul(ahat: jax.Array, bhat: jax.Array, plan: NttPlan) -> jax.Array:
+    """Pointwise product in the evaluation domain (per prime)."""
+    outs = [modmul_point(ahat[pi], bhat[pi], p)
+            for pi, p in enumerate(plan.primes)]
+    return jnp.stack(outs)
+
+
+def negacyclic_polymul(a: jax.Array, b: jax.Array, plan: NttPlan) -> jax.Array:
+    """Exact (a * b) in Rq for coefficient tensors (..., d); broadcasts."""
+    ahat = ntt_fwd(a, plan)
+    bhat = ntt_fwd(b, plan)
+    return ntt_inv_modq(eval_mul(ahat, bhat, plan), plan)
+
+
+def polyvec_inner_product(a: jax.Array, b: jax.Array, plan: NttPlan,
+                          axis: int = -2) -> jax.Array:
+    """<a, b> for vectors of ring elements: sum_i a_i * b_i.
+
+    a, b: (..., m, d).  The sum over m folds into the evaluation domain
+    (contraction per prime), so only one inverse transform runs.
+    Replaces ``polynomial_vec_inner_product`` (reference ``util.rs:496-509``).
+    """
+    ahat = ntt_fwd(a, plan)
+    bhat = ntt_fwd(b, plan)
+    outs = []
+    for pi, p in enumerate(plan.primes):
+        prod = modmul_point(ahat[pi], bhat[pi], p)  # (..., m, d)
+        s = _mod_sum(prod, p, axis=axis)
+        outs.append(s)
+    return ntt_inv_modq(jnp.stack(outs), plan)
+
+
+def _mod_sum(x: jax.Array, p: int, axis: int) -> jax.Array:
+    """Exact sum mod p along an axis of values in [0, p): chunked so int32
+    partial sums never overflow (p < 2^15 -> 2^16 terms per chunk)."""
+    m = x.shape[axis]
+    limit = 1 << 16
+    if m <= limit:
+        return mod_pos(jnp.sum(x, axis=axis), p)
+    # move axis to front, chunk
+    xm = jnp.moveaxis(x, axis, 0)
+    pad = (-m) % limit
+    if pad:
+        xm = jnp.concatenate(
+            [xm, jnp.zeros((pad,) + xm.shape[1:], xm.dtype)], axis=0)
+    xm = xm.reshape(-1, limit, *xm.shape[1:])
+    partial = mod_pos(jnp.sum(xm, axis=1), p)   # (< 2^31 each) -> [0, p)
+    return mod_pos(jnp.sum(partial, axis=0), p)

@@ -1,0 +1,253 @@
+"""Parameter derivation for the LaBRADOR proof system.
+
+Re-derives, in pure Python (f64 semantics identical to Rust's), the runtime
+constants of the reference implementation:
+
+  * ``find_suitable_prime`` — reference ``constants.rs:45-87`` (the "closest
+    prime >= start" fallback actually in use there).
+  * ``LabradorParams`` — reference ``RuntimeConstants::new`` at
+    ``constants.rs:234-264``, formulas from LaBRADOR §5.4 / Thm 5.1.
+
+Conventions faithfully reproduced (see ``constants.rs:249-254``):
+  * ``gamma``, ``gamma_1``, ``gamma_2`` are stored **squared**.
+  * ``beta_prime`` is actually **beta-prime squared**.
+  * ``b_1 = q**(1/t_1)`` is *truncated* (not rounded), ``constants.rs:245``.
+
+On top of the reference behavior this module adds NTT plumbing that the TPU
+build needs: selection of internal NTT-friendly primes (p ≡ 1 mod 2D) used
+for exact CRT-based negacyclic convolution (the role concrete-ntt's
+``native64::Plan32`` plays in the reference, ``constants.rs:197``).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from functools import lru_cache
+
+# Polynomial ring degree: Rq = Zq[X]/(X^D + 1).  Reference ``constants.rs:15``.
+D = 64
+
+# Challenge-space constants for D = 64 (reference ``constants.rs:22-23``):
+# TAU = ||c||^2 of a challenge, T = operator-norm rejection bound.
+TAU = 71.0
+T_OPNORM = 15.0
+
+# Number of functions in the families F and F' of the principal relation
+# (reference ``constants.rs:26,32``).  Parameterized here, defaults match.
+K_DEFAULT = 1
+L_DEFAULT = 1
+
+# Default modulus search start: (1 << 13) - 1 → q = 8191 (itself prime).
+# Reference ``constants.rs:195``; the commented 2^32-scale alternative at
+# ``constants.rs:196`` is supported by passing q_start=(1 << 32) - 1.
+Q_START_DEFAULT = (1 << 13) - 1
+
+
+def _is_prime(n: int) -> bool:
+    """Deterministic Miller-Rabin, exact for n < 3,317,044,064,679,887,385,961,981."""
+    if n < 2:
+        return False
+    for p in (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37):
+        if n % p == 0:
+            return n == p
+    d = n - 1
+    r = 0
+    while d % 2 == 0:
+        d //= 2
+        r += 1
+    for a in (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37):
+        x = pow(a, d, n)
+        if x in (1, n - 1):
+            continue
+        for _ in range(r - 1):
+            x = x * x % n
+            if x == n - 1:
+                break
+        else:
+            return False
+    return True
+
+
+def find_suitable_prime(start: int) -> int:
+    """Smallest prime >= start.  Mirrors reference ``constants.rs:45-87``
+    (whose generator-based search is dead code; the live path just walks up
+    by 1 testing primality)."""
+    q = start
+    while True:
+        if _is_prime(q):
+            return q
+        q += 1
+
+
+def is_ntt_friendly(q: int, d: int = D) -> bool:
+    """q ≡ 1 (mod 2d): the negacyclic NTT of length d fully splits mod q.
+    Reference sketches this intent in ``is_suitable`` (``constants.rs:189-191``)
+    but never enforces it."""
+    return q % (2 * d) == 1
+
+
+@lru_cache(maxsize=None)
+def ntt_prime_table(d: int = D, max_val: int = 32513) -> tuple[int, ...]:
+    """All primes p <= max_val with p ≡ 1 (mod 2d), descending.
+
+    These are the *internal* CRT primes for exact negacyclic convolution.
+    The default cap 32513 (= ops.modmath.P_MAX) keeps p small enough that
+    (a) a product of two reduced values is < 2^30 (int32-safe) and (b) the
+    int8 two-limb MXU decomposition in ops.modmath is representable.
+    """
+    out = []
+    step = 2 * d
+    p = ((max_val - 1) // step) * step + 1
+    while p > step:
+        if _is_prime(p):
+            out.append(p)
+        p -= step
+    return tuple(out)
+
+
+def select_crt_primes(q: int, d: int = D, max_accum: int = 1 << 20) -> tuple[int, ...]:
+    """Pick internal NTT primes whose product exceeds twice the largest
+    possible accumulated negacyclic-convolution coefficient
+    ``max_accum * d * (q-1)^2`` (``max_accum`` = longest inner-product
+    contraction folded into the NTT domain before reconstruction).
+
+    This makes CRT reconstruction exact — unlike the reference's 2^64
+    two's-complement wraparound at ``algebraic.rs:417-419``, which silently
+    corrupts results for q ≳ 2^29.  The factor 2 covers the signed range of
+    negacyclic wraparound terms.
+    """
+    bound = 2 * max_accum * d * (q - 1) ** 2
+    primes: list[int] = []
+    prod = 1
+    for p in ntt_prime_table(d):
+        if prod > bound:
+            break
+        primes.append(p)
+        prod *= p
+    if prod <= bound:
+        raise ValueError(f"not enough {d}-NTT primes below 2^15 for q={q}")
+    return tuple(primes)
+
+
+@dataclass(frozen=True)
+class LabradorParams:
+    """Frozen parameter set: the TPU build's replacement for the reference's
+    global-flags + lazy-statics + ``RuntimeConstants`` config soup
+    (``constants.rs:8-12, 193-201, 205-265``).
+
+    ``n``: rank (length of each witness vector, in ring elements).
+    ``r``: number of witness vectors.
+    All derived values follow ``RuntimeConstants::new`` bit-for-bit in f64.
+    """
+
+    n: int
+    r: int
+    q: int = 0  # 0 → derive from q_start
+    d: int = D
+    k_count: int = K_DEFAULT  # |F|,  reference K
+    l_count: int = L_DEFAULT  # |F'|, reference L
+    q_start: int = Q_START_DEFAULT
+
+    # Derived (filled in __post_init__ via object.__setattr__):
+    beta_bound: int = field(init=False, default=0)
+    std: float = field(init=False, default=0.0)
+    b: int = field(init=False, default=0)
+    t_1: int = field(init=False, default=0)
+    b_1: int = field(init=False, default=0)
+    t_2: int = field(init=False, default=0)
+    b_2: int = field(init=False, default=0)
+    gamma: float = field(init=False, default=0.0)  # squared
+    gamma_1: float = field(init=False, default=0.0)  # squared
+    gamma_2: float = field(init=False, default=0.0)  # squared
+    beta_prime: float = field(init=False, default=0.0)  # squared
+    kappa: int = field(init=False, default=0)
+    kappa_1: int = field(init=False, default=0)
+    kappa_2: int = field(init=False, default=0)
+    crt_primes: tuple[int, ...] = field(init=False, default=())
+
+    def __post_init__(self):
+        q = self.q if self.q else find_suitable_prime(self.q_start)
+        object.__setattr__(self, "q", q)
+        n, r, d = self.n, self.r, self.d
+
+        # constants.rs:237-239 — commitment ranks = lattice dimension n*d.
+        kappa = n * d
+        object.__setattr__(self, "kappa", kappa)
+        object.__setattr__(self, "kappa_1", kappa)
+        object.__setattr__(self, "kappa_2", kappa)
+
+        # constants.rs:241 — beta = floor(sqrt(30/128) * q / 125)
+        beta = math.floor(math.sqrt(30.0 / 128.0) * float(q) / 125.0)
+        object.__setattr__(self, "beta_bound", int(beta))
+        # constants.rs:242 — gothic s
+        std = float(beta) / math.sqrt(float(r * n * d))
+        object.__setattr__(self, "std", std)
+        # constants.rs:243 — b = round(sqrt(sqrt(12 r tau) * std))
+        b = _rust_round(math.sqrt(math.sqrt(12.0 * float(r) * TAU) * std))
+        object.__setattr__(self, "b", int(b))
+        # constants.rs:244 — t1 = round(log2 q / log2 b)
+        t_1 = _rust_round(math.log2(float(q)) / math.log2(float(b)))
+        object.__setattr__(self, "t_1", int(t_1))
+        # constants.rs:245 — b1 = trunc(q^(1/t1))   (truncation, not rounding)
+        b_1 = int(float(q) ** (1.0 / float(t_1)))
+        object.__setattr__(self, "b_1", b_1)
+        # constants.rs:246 — t2 = round(log2(sqrt(24 n d) * std^2) / log2 b)
+        t_2 = _rust_round(
+            math.log2(math.sqrt(24.0 * float(n * d)) * std**2) / math.log2(float(b))
+        )
+        object.__setattr__(self, "t_2", int(t_2))
+        # constants.rs:247 — b2 = round((sqrt(24 n d) * std^2)^(1/t2))
+        b_2 = _rust_round(
+            (math.sqrt(float(24 * n * d)) * std**2) ** (1.0 / float(t_2))
+        )
+        object.__setattr__(self, "b_2", int(b_2))
+
+        # constants.rs:250-254 — NOTE: all four stored SQUARED, faithfully.
+        gamma = float(beta * beta) * TAU
+        gamma_1 = (float(b_1) ** 2 * float(t_1) / 12.0) * float(r) * float(kappa) * float(d) + (
+            float(b_2) ** 2 * float(t_2) / 12.0
+        ) * ((float(r) ** 2 + float(r)) / 2.0) * float(d)
+        gamma_2 = (float(b_1) ** 2 * float(t_1) / 12.0) * (
+            (float(r) ** 2 + float(r)) / 2.0
+        ) * float(d)
+        beta_prime = (2.0 / float(b) ** 2) * gamma + gamma_1 + gamma_2
+        object.__setattr__(self, "gamma", gamma)
+        object.__setattr__(self, "gamma_1", gamma_1)
+        object.__setattr__(self, "gamma_2", gamma_2)
+        object.__setattr__(self, "beta_prime", beta_prime)
+
+        # Longest contraction folded into the NTT domain before CRT
+        # reconstruction is the commitment-row inner product (length kappa);
+        # pad with 2x headroom, floor at 1024 for small configs.
+        object.__setattr__(
+            self, "crt_primes",
+            select_crt_primes(q, d, max_accum=max(2 * kappa, 1024)),
+        )
+
+    # ------------------------------------------------------------------
+    @property
+    def upper_bound(self) -> int:
+        """Number of first-aggregation rounds: min(K, ceil(128/log2 q)).
+        Reference ``proofgen.rs:189``/``verification.rs:28``."""
+        return min(self.k_count, math.ceil(128.0 / math.log2(float(self.q))))
+
+    @property
+    def inv2(self) -> int:
+        """2^{-1} mod q (used for the h matrix, ``proofgen.rs:341-346``)."""
+        return pow(2, self.q - 2, self.q)
+
+    def summary(self) -> str:
+        return (
+            f"LabradorParams(n={self.n}, r={self.r}, q={self.q}, d={self.d}, "
+            f"beta={self.beta_bound}, std={self.std:.4f}, b={self.b}, "
+            f"t1={self.t_1}, b1={self.b_1}, t2={self.t_2}, b2={self.b_2}, "
+            f"kappa={self.kappa}, beta'^2={self.beta_prime:.1f}, "
+            f"crt_primes={self.crt_primes})"
+        )
+
+
+def _rust_round(x: float) -> int:
+    """Rust f64::round(): round half away from zero (Python's round() is
+    banker's rounding, which would diverge on exact .5 values)."""
+    return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
