@@ -179,6 +179,38 @@ def u64_sum(values_sq: jax.Array, axis=None) -> tuple:
     return acc
 
 
+def u64_shl(x: tuple, k: int) -> tuple:
+    """Left shift an emulated u64 by a static k in {1..31} or exactly 32."""
+    hi, lo = x
+    hiu = hi.astype(jnp.uint32)
+    lou = lo.astype(jnp.uint32)
+    if k == 32:
+        return lou.astype(jnp.int32), jnp.zeros_like(lo)
+    nhi = (hiu << k) | (lou >> (32 - k))
+    nlo = lou << k
+    return nhi.astype(jnp.int32), nlo.astype(jnp.int32)
+
+
+def sum_sq_u64(x: jax.Array) -> tuple:
+    """Exact sum of squares of int32 values (any sign), as emulated u64
+    (exact when the true sum < 2**64).  Used for JL-projection and witness
+    norm checks where squares exceed int32 range."""
+    a = jnp.abs(x).reshape(-1)
+    hi, lo = mul32x32_u64(a, a)           # per-element a^2 as u64 pairs
+    lou = lo.astype(jnp.uint32)
+    lo16a = (lou >> 16).astype(jnp.int32)   # < 2^16
+    lo16b = (lou & jnp.uint32(0xFFFF)).astype(jnp.int32)
+    s_hi = u64_sum(hi)                      # each hi < 2^30
+    s_a = u64_sum(lo16a)
+    s_b = u64_sum(lo16b)
+    # (sum hi) << 32 : keep only the low 32 bits of s_hi (overflow beyond
+    # 2^64 is out of contract anyway)
+    t = (s_hi[1], jnp.zeros_like(s_hi[1]))
+    t = u64_add(t, u64_shl(s_a, 16))
+    t = u64_add(t, s_b)
+    return t
+
+
 def u64_to_py(x: tuple) -> int:
     """Host-side: emulated u64 -> Python int."""
     hi = int(np.uint32(np.asarray(x[0])))

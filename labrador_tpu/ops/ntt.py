@@ -209,6 +209,24 @@ def negacyclic_polymul(a: jax.Array, b: jax.Array, plan: NttPlan) -> jax.Array:
     return ntt_inv_modq(eval_mul(ahat, bhat, plan), plan)
 
 
+def eval_matmul(ahat: jax.Array, bhat: jax.Array, plan: NttPlan) -> jax.Array:
+    """Ring-matrix product in the evaluation domain.
+
+    ahat: (P, M, K, d), bhat: (P, K, N, d)  ->  (P, M, N, d).
+
+    Per prime and per evaluation lane this is an exact modular matmul — the
+    core MXU workload: an Rq matrix product of any size becomes d batched
+    integer matmuls per prime (SURVEY.md §2.16).
+    """
+    outs = []
+    for pi, p in enumerate(plan.primes):
+        a = jnp.moveaxis(ahat[pi], -1, 0)   # (d, M, K)
+        b = jnp.moveaxis(bhat[pi], -1, 0)   # (d, K, N)
+        o = modmul_mm(a, b, p, batch_dims=1)
+        outs.append(jnp.moveaxis(o, 0, -1))
+    return jnp.stack(outs)
+
+
 def polyvec_inner_product(a: jax.Array, b: jax.Array, plan: NttPlan,
                           axis: int = -2) -> jax.Array:
     """<a, b> for vectors of ring elements: sum_i a_i * b_i.

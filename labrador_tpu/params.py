@@ -218,11 +218,12 @@ class LabradorParams:
         object.__setattr__(self, "beta_prime", beta_prime)
 
         # Longest contraction folded into the NTT domain before CRT
-        # reconstruction is the commitment-row inner product (length kappa);
-        # pad with 2x headroom, floor at 1024 for small configs.
+        # reconstruction: the u1 outer commitment accumulates r * t_1 * kappa
+        # convolution terms (proofgen.rs:100-132); pad with 2x headroom,
+        # floor at 1024 for small configs.
         object.__setattr__(
             self, "crt_primes",
-            select_crt_primes(q, d, max_accum=max(2 * kappa, 1024)),
+            select_crt_primes(q, d, max_accum=max(2 * r * t_1 * kappa, 1024)),
         )
 
     # ------------------------------------------------------------------

@@ -1,0 +1,193 @@
+"""The LaBRADOR prover as a single jittable pipeline.
+
+Re-designs ``Prover::proof_gen`` (``/root/reference/src/proofgen.rs:30-427``)
+as a pure function of (witness, state, CRS, verifier key): every phase is
+batched tensor algebra in the NTT evaluation domain, rejection loops are
+bounded ``lax.while_loop``s, and all randomness comes from explicit PRNG
+keys — no global state, no host round trips.
+
+Interaction model: the reference prover holds a live ``&Verifier`` and calls
+its sampling oracles mid-protocol (``proofgen.rs:20,170,209-210,295-296,388``).
+Here the "verifier" is a PRNG key; challenges are derived from tagged
+subkeys in protocol order, so an interactive verifier (same key) or a
+Fiat-Shamir oracle (oracle.py) can reproduce them.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .params import LabradorParams
+from .ops import ntt as ntt_ops
+from .ops.modmath import mod_pos, sum_sq_u64, u64_leq_const
+from . import protocol, sampling
+from .structs import State, Transcript
+
+# Verifier-randomness derivation tags (protocol message order)
+TAG_JL = 0
+TAG_PSI = 1
+TAG_OMEGA = 2
+TAG_ALPHA = 3
+TAG_BETA = 4
+TAG_CHALLENGE = 5
+
+
+def _vkey(key, tag, idx=0):
+    return jax.random.fold_in(jax.random.fold_in(key, tag), idx)
+
+
+def jl_project(key: jax.Array, witness_flat: jax.Array,
+               params: LabradorParams) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """One JL attempt: sample ternary Pi per witness index and project.
+
+    witness_flat: (r, n*d) raw residues.  Returns (pi (r,256,n*d) int8,
+    projection (256,) int32 over the integers, ok flag).
+    (proofgen.rs:429-456; validity check verification.rs:568-579)
+    """
+    p = params
+    keys = jax.random.split(key, p.r)
+    pi = jax.vmap(lambda k: sampling.sample_jl_matrix(k, p))(keys)
+
+    # integer matmul: pi (r,256,nd) @ s (r,nd) summed over r.
+    # s < q <= 2^15: centered two-limb int8 split keeps this on the int8 MXU.
+    from .ops.modmath import split_i8
+    w_hi, w_lo = split_i8(witness_flat)              # x = hi*256 + lo
+    pi_flat = jnp.moveaxis(pi, 1, 0).reshape(256, -1)  # (256, r*nd)
+    wf_hi = w_hi.reshape(-1)
+    wf_lo = w_lo.reshape(-1)
+    dn = (((1,), (0,)), ((), ()))
+    p_hi = jax.lax.dot_general(pi_flat, wf_hi[:, None], dn,
+                               preferred_element_type=jnp.int32)[:, 0]
+    p_lo = jax.lax.dot_general(pi_flat, wf_lo[:, None], dn,
+                               preferred_element_type=jnp.int32)[:, 0]
+    proj = p_hi * 256 + p_lo
+
+    norm_sq = sum_sq_u64(proj)
+    bound = 128 * p.beta_bound * p.beta_bound
+    ok = u64_leq_const(norm_sq, bound)
+    return pi, proj, ok
+
+
+def _jl_with_retries(key: jax.Array, witness_flat: jax.Array,
+                     params: LabradorParams, max_attempts: int = 6):
+    """JL projection with the reference's retry-then-give-up behavior
+    (<=5 rejections then panic, proofgen.rs:169-181; here: an ok flag the
+    host asserts on)."""
+
+    def attempt(i):
+        return jl_project(jax.random.fold_in(key, i), witness_flat, params)
+
+    init = attempt(jnp.int32(0)) + (jnp.int32(0),)
+
+    def cond(carry):
+        _, _, ok, i = carry
+        return (~ok) & (i < max_attempts - 1)
+
+    def body(carry):
+        _, _, _, i = carry
+        i = i + 1
+        pi, proj, ok = attempt(i)
+        return pi, proj, ok, i
+
+    pi, proj, ok, _ = jax.lax.while_loop(cond, body, init)
+    return pi, proj, ok
+
+
+def prove_impl(params: LabradorParams, witness: jax.Array, state: State,
+               crs, verifier_key: jax.Array,
+               decomp_mode: str = "reference") -> Transcript:
+    """Proof generation (unjitted core — compose with vmap/shard_map; use
+    ``prove`` for the jitted entry point).  `crs` is a CRS pytree (traced
+    key, static params) so compiled programs are reused across seeds."""
+    p = params
+    plan = ntt_ops.plan_for(p)
+    s_hat = ntt_ops.ntt_fwd(witness, plan)                # (P, r, n, d)
+
+    # -- step 1: inner Ajtai commitments t_i = A s_i (proofgen.rs:41-49)
+    t = protocol.ajtai_commit(crs, s_hat, p, plan)        # (r, kappa, d)
+
+    # -- step 2: Gram matrix g_ij = <s_i, s_j> (proofgen.rs:59-70)
+    g_hat = protocol.gram_hat(s_hat, plan)
+    g = ntt_ops.ntt_inv_modq(g_hat, plan)                 # (r, r, d)
+
+    # -- step 3: outer commitment u1 (proofgen.rs:100-153)
+    t_dig = protocol.decompose_t(t, p, decomp_mode)       # (t1, r, kappa, d)
+    g_dig = protocol.decompose_g(g, p, decomp_mode)       # (t2, r, r, d)
+    u_1 = protocol.u1_from_digits(crs, t_dig, g_dig, p, plan)
+
+    # -- step 4: JL projection with retries (proofgen.rs:161-186)
+    witness_flat = witness.reshape(p.r, p.n * p.d)
+    pi, proj_int, jl_ok = _jl_with_retries(
+        _vkey(verifier_key, TAG_JL), witness_flat, p)
+    projection = mod_pos(proj_int, p.q)                   # lift (proofgen.rs:186)
+
+    # -- step 5: first aggregation (proofgen.rs:189-289)
+    ub = p.upper_bound
+    psi = jax.vmap(lambda i: sampling.sample_psi(
+        _vkey(verifier_key, TAG_PSI, i), p))(jnp.arange(ub))      # (ub, L)
+    omega = jax.vmap(lambda i: sampling.sample_omega(
+        _vkey(verifier_key, TAG_OMEGA, i), p))(jnp.arange(ub))    # (ub, 256)
+
+    a_prime = state.a_prime_k[: p.l_count]
+    phi_prime = state.phi_prime_k[: p.l_count]
+    a_pp = protocol.aggregate_a_pp(a_prime, psi, p.q)             # (ub,r,r,d)
+    pi_sigma = protocol.sigma_inv_pi(pi, p)
+    phi_pp = protocol.aggregate_phi_pp(phi_prime, psi, omega, pi_sigma, p)
+
+    a_pp_hat = ntt_ops.ntt_fwd(a_pp, plan)
+    phi_pp_hat = ntt_ops.ntt_fwd(phi_pp, plan)
+    # CRT-range invariant: multiply only NTTs of *reduced* tensors — use the
+    # transform of the reduced Gram matrix, not the raw eval-domain product.
+    g_hat_red = ntt_ops.ntt_fwd(g, plan)
+    b_pp = protocol.b_pp_from_witness(a_pp_hat, phi_pp_hat, s_hat,
+                                      g_hat_red, plan)            # (ub, d)
+
+    # in-protocol self-check (proofgen.rs:280 -> verification.rs:532-551)
+    expected = protocol.b_pp_expected_const(
+        omega, psi, projection, state.b_prime_k[: p.l_count], p.q)
+    b_pp_ok = jnp.all(b_pp[:, 0] == expected)
+
+    # -- step 6: second aggregation challenges (proofgen.rs:295-314)
+    alpha = sampling.sample_alpha(_vkey(verifier_key, TAG_ALPHA), p)  # (K, d)
+    beta = sampling.sample_beta(_vkey(verifier_key, TAG_BETA), p)     # (ub, d)
+    alpha_hat = ntt_ops.ntt_fwd(alpha, plan)
+    beta_hat = ntt_ops.ntt_fwd(beta, plan)
+    phi_hat = ntt_ops.ntt_fwd(state.phi_k, plan)                  # (P,K,r,n,d)
+    phi_fin_hat = protocol.phi_final_hat(alpha_hat, beta_hat,
+                                         phi_hat, phi_pp_hat, plan)
+    # reduce mod q between multiplication levels (CRT-range invariant)
+    phi_fin = ntt_ops.ntt_inv_modq(phi_fin_hat, plan)             # (r, n, d)
+    phi_fin_hat_red = ntt_ops.ntt_fwd(phi_fin, plan)
+
+    # -- step 7: h matrix (proofgen.rs:320-358).  MOD_SUSPENSION + Fermat
+    # inverse collapses to one modular scalar multiply by 2^{-1} mod q.
+    st = jnp.swapaxes(s_hat, -3, -2)                              # (P,n,r,d)
+    m_hat = ntt_ops.eval_matmul(phi_fin_hat_red, st, plan)        # (P,r,r,d)
+    m = ntt_ops.ntt_inv_modq(m_hat, plan)
+    h = mod_pos(mod_pos(m + jnp.swapaxes(m, 0, 1), p.q) * p.inv2, p.q)
+
+    # -- step 8: outer commitment u2 (proofgen.rs:364-378)
+    h_dig = protocol.decompose_h(h, p, decomp_mode)
+    u_2 = protocol.u2_from_digits(crs, h_dig, p, plan)
+
+    # -- step 9: amortized opening (proofgen.rs:380-399)
+    c = jax.vmap(lambda i: sampling.sample_challenge(
+        _vkey(verifier_key, TAG_CHALLENGE, i), p))(jnp.arange(p.r))  # (r, d)
+    c_hat = ntt_ops.ntt_fwd(c, plan)                              # (P, r, d)
+    z_hat_terms = []
+    for pi_, pr in enumerate(plan.primes):
+        prod = mod_pos(c_hat[pi_][:, None, :] * s_hat[pi_], pr)   # (r, n, d)
+        z_hat_terms.append(ntt_ops._mod_sum(prod, pr, axis=0))
+    z = ntt_ops.ntt_inv_modq(jnp.stack(z_hat_terms), plan)        # (n, d)
+
+    return Transcript(
+        u_1=u_1, pi=pi, projection=projection, psi=psi, omega=omega,
+        b_prime_prime=b_pp, alpha=alpha, beta=beta, u_2=u_2, c=c, z=z,
+        t=t, g=g, h=h, jl_ok=jl_ok, b_pp_ok=b_pp_ok,
+    )
+
+
+prove = partial(jax.jit, static_argnames=("params", "decomp_mode"))(prove_impl)

@@ -1,0 +1,190 @@
+"""Samplers: witness, challenge space, verifier randomness, JL matrices.
+
+Replaces the reference's thread_rng-based generators (``util.rs:27-104``,
+``verification.rs:441-566``, ``proofgen.rs:460-518``) with explicit
+jax.random keys — fully jittable, reproducible, and device-resident.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .params import LabradorParams, TAU, T_OPNORM
+from .ops.modmath import mod_pos, u64_sum, u64_leq_const
+from .ops import ntt as ntt_ops
+
+
+def uniform_zq(key: jax.Array, shape, q: int) -> jax.Array:
+    """Uniform [0, q) int32 via 64-bit reduction (bias < q/2^64).
+    Counterpart of ``generate_polynomial``/``random_sample_zq``
+    (``util.rs:27-35,158-164``)."""
+    bits = jax.random.bits(key, shape + (2,), jnp.uint32)
+    c32 = (1 << 32) % q
+
+    def u32_mod_q(u):
+        hi = (u >> 16).astype(jnp.int32)
+        lo = (u & jnp.uint32(0xFFFF)).astype(jnp.int32)
+        return mod_pos(mod_pos(hi * ((1 << 16) % q), q) + lo, q)
+
+    r0 = u32_mod_q(bits[..., 0])
+    r1 = u32_mod_q(bits[..., 1])
+    return mod_pos(r0 * c32 % q + r1, q)
+
+
+# ---------------------------------------------------------------------------
+# Witness
+# ---------------------------------------------------------------------------
+
+def generate_witness(key: jax.Array, params: LabradorParams) -> jax.Array:
+    """(r, n, d) witness with sum of squared (raw-residue) coefficients
+    <= beta^2.
+
+    The reference samples uniform coefficients and then repeatedly halves
+    *randomly chosen* entries until the norm bound holds
+    (``proofgen.rs:460-518``).  Vectorized variant: halve **all** entries
+    per rejection round (same invariant, same halving primitive
+    ``reduce_polynomial``/``util.rs:37-51`` applied globally; distribution
+    of scales differs slightly — witness generation is test-data synthesis,
+    not protocol).
+    """
+    p = params
+    w = uniform_zq(key, (p.r, p.n, p.d), p.q)
+    bound = p.beta_bound * p.beta_bound
+
+    def too_big(w):
+        return ~u64_leq_const(u64_sum(w * w), bound)
+
+    def halve(w):
+        return w // 2
+
+    return jax.lax.while_loop(too_big, halve, w)
+
+
+# ---------------------------------------------------------------------------
+# Challenge space (reference verification.rs:460-489, util.rs:83-104,227-246)
+# ---------------------------------------------------------------------------
+
+def _challenge_multiset(d: int) -> np.ndarray:
+    if d == 64:
+        # 23 zeros, 31 ones, 10 twos: ||c||^2 = 31 + 40 = 71 = TAU
+        return np.array([0] * 23 + [1] * 31 + [2] * 10, np.int32)
+    # degenerate fallback mirroring the reference's else-branch shape
+    base = [1, 0] * ((d + 1) // 2)
+    return np.array(base[:d], np.int32)
+
+
+@lru_cache(maxsize=None)
+def _eval_matrices(d: int) -> tuple[np.ndarray, np.ndarray]:
+    """Real/imag parts of the (d, d) matrix evaluating a real-coefficient
+    polynomial at the primitive 2d-th roots e^{i pi (2k+1)/d}."""
+    j = np.arange(d)[:, None]
+    k = np.arange(d)[None, :]
+    ang = np.pi * (2 * k + 1) * j / d
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
+def operator_norm_exact(c_centered: jax.Array, d: int) -> jax.Array:
+    """Exact operator norm of multiplication by c in Rq ⊗ R: the negacyclic
+    multiplication matrix is normal with eigenvalues c(omega^{2k+1}), so the
+    spectral norm is max_k |c(omega^{2k+1})|.
+
+    This replaces the reference's 1000-sample statistical sup-estimate
+    (``operator_norm``, util.rs:227-246) with the true value; the estimate
+    can only under-approximate it, so exact rejection is sound (and far
+    cheaper: one 64x64 matmul instead of 1000 ring products).
+    """
+    er, ei = _eval_matrices(d)
+    cf = c_centered.astype(jnp.float32)
+    re = cf @ jnp.asarray(er)
+    im = cf @ jnp.asarray(ei)
+    return jnp.sqrt(jnp.max(re * re + im * im))
+
+
+def operator_norm_sampled(key: jax.Array, c: jax.Array,
+                          params: LabradorParams, n_samples: int = 1000) -> jax.Array:
+    """Reference-faithful statistical estimate (util.rs:227-246): sup over
+    n_samples random ring elements of ||c*r|| / ||r||, batched on device."""
+    plan = ntt_ops.plan_for(params)
+    r = uniform_zq(key, (n_samples, params.d), params.q)
+    prod = ntt_ops.negacyclic_polymul(jnp.broadcast_to(c, r.shape), r, plan)
+    # reference computes norms over raw residues in [0, q)
+    num = jnp.sqrt(jnp.sum(prod.astype(jnp.float64 if jax.config.jax_enable_x64
+                                       else jnp.float32) ** 2, axis=-1))
+    den = jnp.sqrt(jnp.sum(r.astype(num.dtype) ** 2, axis=-1))
+    return jnp.max(num / den)
+
+
+def sample_challenge(key: jax.Array, params: LabradorParams) -> jax.Array:
+    """One challenge polynomial c: random signed permutation of the fixed
+    multiset, rejected while operator norm > T (= 15).
+
+    Sign rule matches ``generate_polynomial_picky`` (util.rs:83-104): a
+    coefficient is negated iff it is > 0 and an independent fair bit is set.
+    Stored as residues mod q; rejection uses the exact operator norm.
+    """
+    p = params
+    multiset = jnp.asarray(_challenge_multiset(p.d))
+
+    def draw(key):
+        kp, ks = jax.random.split(key)
+        perm = jax.random.permutation(kp, multiset)
+        signs = jax.random.bernoulli(ks, 0.5, (p.d,))
+        centered = jnp.where(signs & (perm > 0), -perm, perm)
+        return centered
+
+    def cond(carry):
+        _, centered = carry
+        return operator_norm_exact(centered, p.d) > T_OPNORM
+
+    def body(carry):
+        key, _ = carry
+        key = jax.random.fold_in(key, 1)
+        return key, draw(key)
+
+    key0 = jax.random.fold_in(key, 0)
+    _, centered = jax.lax.while_loop(cond, body, (key0, draw(key0)))
+    return mod_pos(centered, p.q)
+
+
+# ---------------------------------------------------------------------------
+# Verifier scalar/poly randomness (verification.rs:441-513)
+# ---------------------------------------------------------------------------
+
+def sample_psi(key: jax.Array, params: LabradorParams) -> jax.Array:
+    """(L,) uniform Zq — ``generate_psi`` (verification.rs:491-501)."""
+    return uniform_zq(key, (params.l_count,), params.q)
+
+
+def sample_omega(key: jax.Array, params: LabradorParams) -> jax.Array:
+    """(256,) uniform Zq — ``generate_omega`` (verification.rs:503-513)."""
+    return uniform_zq(key, (256,), params.q)
+
+
+def sample_alpha(key: jax.Array, params: LabradorParams) -> jax.Array:
+    """(K, d) uniform ring elements — ``fetch_alpha`` (verification.rs:441-447)."""
+    return uniform_zq(key, (params.k_count, params.d), params.q)
+
+
+def sample_beta(key: jax.Array, params: LabradorParams) -> jax.Array:
+    """(upper_bound, d) uniform ring elements — ``fetch_beta``
+    (verification.rs:449-456)."""
+    return uniform_zq(key, (params.upper_bound, params.d), params.q)
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss projection matrices (verification.rs:553-566)
+# ---------------------------------------------------------------------------
+
+def sample_jl_matrix(key: jax.Array, params: LabradorParams) -> jax.Array:
+    """(256, n*d) ternary matrix, P(-1)=P(+1)=1/4, P(0)=1/2, as int8."""
+    p = params
+    bits = jax.random.bits(key, (256, p.n * p.d), jnp.uint32)
+    b0 = (bits & 1).astype(jnp.int8)
+    b1 = ((bits >> 1) & 1).astype(jnp.int8)
+    # 00 -> -1, 01/10 -> 0, 11 -> +1
+    return (b0 + b1) - jnp.int8(1)

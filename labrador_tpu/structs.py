@@ -1,0 +1,166 @@
+"""Protocol objects: constraint system State and proof Transcript.
+
+Counterparts of the reference ``State`` (``structs.rs:269-388``) and
+``Transcript`` (``structs.rs:192-221``), as JAX pytree dataclasses of
+batched coefficient tensors.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from .params import LabradorParams
+from .ops import ntt as ntt_ops
+from .ops.modmath import mod_pos
+from . import sampling
+
+
+@struct.dataclass
+class State:
+    """Families F and F' of the principal relation.
+
+    Shapes: a_k (K, r, r, d) symmetric in (i, j); phi_k (K, r, n, d) with
+    phi_k[k, i] the length-n vector for witness index i; b_k (K, d).
+    F' mirrors F with b'_k = b_k(0) (constant term), exactly like the
+    reference's simplification at ``structs.rs:352-374``.
+    """
+
+    a_k: jax.Array
+    phi_k: jax.Array
+    b_k: jax.Array
+    a_prime_k: jax.Array
+    phi_prime_k: jax.Array
+    b_prime_k: jax.Array  # (K,) constant coefficients
+
+
+@struct.dataclass
+class Transcript:
+    """All prover messages (``structs.rs:193-209``)."""
+
+    u_1: jax.Array            # (kappa_1, d)
+    pi: jax.Array             # (r, 256, n*d) int8 — JL matrices
+    projection: jax.Array     # (256,) int32 mod q (lifted, proofgen.rs:186)
+    psi: jax.Array            # (upper_bound, L)
+    omega: jax.Array          # (upper_bound, 256)
+    b_prime_prime: jax.Array  # (upper_bound, d)
+    alpha: jax.Array          # (K, d)
+    beta: jax.Array           # (upper_bound, d)
+    u_2: jax.Array            # (kappa_2, d)
+    c: jax.Array              # (r, d)
+    z: jax.Array              # (n, d)
+    t: jax.Array              # (r, kappa, d)
+    g: jax.Array              # (r, r, d)
+    h: jax.Array              # (r, r, d)
+    # prover-side self-check flags (not messages): JL acceptance and the
+    # b'' constant-term check (proofgen.rs:280, verification.rs:532-551)
+    jl_ok: jax.Array
+    b_pp_ok: jax.Array
+
+
+def generate_state(key: jax.Array, witness: jax.Array,
+                   params: LabradorParams) -> State:
+    """Random constraint families satisfied by `witness`, mirroring
+    ``State::new``/``gen_f`` (``structs.rs:289-388``): symmetric random a_k,
+    random phi_k, and b_k derived so the relation holds."""
+    p = params
+    plan = ntt_ops.plan_for(p)
+    ka, kphi = jax.random.split(key)
+
+    # symmetric a: sample full, take value from the first-visited (i<=j) slot
+    a_full = sampling.uniform_zq(ka, (p.k_count, p.r, p.r, p.d), p.q)
+    ii = jnp.arange(p.r)[:, None]
+    jj = jnp.arange(p.r)[None, :]
+    iu = jnp.minimum(ii, jj)
+    ju = jnp.maximum(ii, jj)
+    a_k = a_full[:, iu, ju, :]
+
+    phi_k = sampling.uniform_zq(kphi, (p.k_count, p.r, p.n, p.d), p.q)
+
+    # b_k = sum_ij a_ij <s_i, s_j> + sum_i <phi_i, s_i>
+    s_hat = ntt_ops.ntt_fwd(witness, plan)                  # (P, r, n, d)
+    # reduce the Gram matrix mod q before the second multiplication level
+    # (CRT-range invariant: only NTTs of reduced tensors enter products)
+    g = ntt_ops.ntt_inv_modq(_gram_hat(s_hat, plan), plan)
+    g_hat = ntt_ops.ntt_fwd(g, plan)                        # (P, r, r, d)
+    a_hat = ntt_ops.ntt_fwd(a_k, plan)                      # (P, K, r, r, d)
+    phi_hat = ntt_ops.ntt_fwd(phi_k, plan)                  # (P, K, r, n, d)
+
+    outs = []
+    for pi_, pr in enumerate(plan.primes):
+        term_a = ntt_ops._mod_sum(
+            mod_pos(a_hat[pi_] * g_hat[pi_][None], pr).reshape(
+                p.k_count, -1, p.d), pr, axis=1)
+        term_phi = ntt_ops._mod_sum(
+            mod_pos(phi_hat[pi_] * s_hat[pi_][None], pr).reshape(
+                p.k_count, -1, p.d), pr, axis=1)
+        outs.append(mod_pos(term_a + term_phi, pr))
+    b_k = ntt_ops.ntt_inv_modq(jnp.stack(outs), plan)       # (K, d)
+
+    return State(a_k=a_k, phi_k=phi_k, b_k=b_k,
+                 a_prime_k=a_k, phi_prime_k=phi_k,
+                 b_prime_k=b_k[:, 0])
+
+
+def _gram_hat(s_hat: jax.Array, plan) -> jax.Array:
+    """G_ij = <s_i, s_j> in eval domain: (P, r, n, d) -> (P, r, r, d)."""
+    st = jnp.swapaxes(s_hat, -3, -2)  # (P, n, r, d)
+    return ntt_ops.eval_matmul(s_hat, st, plan)
+
+
+# ---------------------------------------------------------------------------
+# Serialization / size metric
+# ---------------------------------------------------------------------------
+
+def _bincode_poly_vec(arr: np.ndarray) -> bytes:
+    """Vec<Rq> in bincode layout: u64 LE count, then per element u64 LE
+    coefficient count + i128 LE coefficients (serde impls at
+    ``algebraic.rs:422-429``; Zq is a single i128 field)."""
+    arr = np.asarray(arr)
+    flat = arr.reshape(-1, arr.shape[-1])
+    out = [len(flat).to_bytes(8, "little")]
+    for poly in flat:
+        out.append(len(poly).to_bytes(8, "little"))
+        for c in poly:
+            out.append(int(c).to_bytes(16, "little", signed=True))
+    return b"".join(out)
+
+
+def _bincode_zq_vec(arr: np.ndarray) -> bytes:
+    arr = np.asarray(arr).reshape(-1)
+    out = [len(arr).to_bytes(8, "little")]
+    for c in arr:
+        out.append(int(c).to_bytes(16, "little", signed=True))
+    return b"".join(out)
+
+
+def transcript_size_in_bytes(tr: Transcript, q: int) -> int:
+    """Compressed transcript size: bincode-equivalent byte layout + gzip at
+    max compression, matching ``Transcript::size_in_bytes``
+    (``structs.rs:212-221``) so proof-size numbers are comparable.
+
+    The JL matrices are serialized lifted mod q (the reference lifts them to
+    Zq before storing, ``proofgen.rs:445-453``)."""
+    pi_lifted = np.asarray(tr.pi, np.int64) % q
+    parts = [
+        _bincode_poly_vec(tr.u_1),
+        _bincode_zq_vec(pi_lifted),
+        _bincode_zq_vec(tr.projection),
+        _bincode_zq_vec(tr.psi),
+        _bincode_zq_vec(tr.omega),
+        _bincode_poly_vec(tr.b_prime_prime),
+        _bincode_poly_vec(tr.alpha),
+        _bincode_poly_vec(tr.beta),
+        _bincode_poly_vec(tr.u_2),
+        _bincode_poly_vec(tr.c),
+        _bincode_poly_vec(tr.z),
+        _bincode_poly_vec(tr.t),
+        _bincode_poly_vec(tr.g),
+        _bincode_poly_vec(tr.h),
+    ]
+    blob = b"".join(parts)
+    return len(zlib.compress(blob, 9))

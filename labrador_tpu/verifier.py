@@ -1,0 +1,184 @@
+"""The LaBRADOR verifier: protocol lines 1-20 as device reductions.
+
+Re-designs ``Verifier::verify`` (``/root/reference/src/verification.rs:25-438``)
+reusing the prover's kernels (protocol.py).  Returns a per-check report so
+failures are attributable; the overall verdict is the conjunction of the 14
+checks — the exact acceptance predicate of the reference.
+
+Check 14 runs with **exact integer accumulation** by default (fixing the
+reference's f64 precision bug at large q, ``README.md:10``); a
+reference-faithful f64 mode is available for parity studies.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .params import LabradorParams
+from .ops import ntt as ntt_ops
+from .ops.decompose import decompose
+from .ops.modmath import mod_pos, u64_sum, u64_leq_const
+from . import protocol
+from .structs import State, Transcript
+
+
+@partial(jax.jit, static_argnames=("params", "decomp_mode", "norm_mode"))
+def verify_report(params: LabradorParams, state: State, proof: Transcript,
+                  crs, decomp_mode: str = "reference",
+                  norm_mode: str = "exact") -> dict:
+    """All checks; returns {name: bool array} plus 'all'."""
+    p = params
+    plan = ntt_ops.plan_for(p)
+    checks: dict[str, jax.Array] = {}
+
+    # ---- lines 3-7: recomputation (verification.rs:38-148)
+    a_prime = state.a_prime_k[: p.l_count]
+    phi_prime = state.phi_prime_k[: p.l_count]
+    a_pp = protocol.aggregate_a_pp(a_prime, proof.psi, p.q)
+    pi_sigma = protocol.sigma_inv_pi(proof.pi, p)
+    phi_pp = protocol.aggregate_phi_pp(phi_prime, proof.psi, proof.omega,
+                                       pi_sigma, p)
+
+    alpha_hat = ntt_ops.ntt_fwd(proof.alpha, plan)
+    beta_hat = ntt_ops.ntt_fwd(proof.beta, plan)
+    a_pp_hat = ntt_ops.ntt_fwd(a_pp, plan)
+    phi_pp_hat = ntt_ops.ntt_fwd(phi_pp, plan)
+    a_hat = ntt_ops.ntt_fwd(state.a_k, plan)
+    phi_hat = ntt_ops.ntt_fwd(state.phi_k, plan)
+    b_hat = ntt_ops.ntt_fwd(state.b_k, plan)
+    b_pp_hat = ntt_ops.ntt_fwd(proof.b_prime_prime, plan)
+
+    # CRT-range invariant: reduce mod q between ring-multiplication levels,
+    # so every eval-domain factor below is the NTT of a reduced tensor.
+    a_fin = ntt_ops.ntt_inv_modq(
+        protocol.a_final_hat(alpha_hat, beta_hat, a_hat, a_pp_hat, plan),
+        plan)                                              # (r, r, d)
+    a_fin_hat = ntt_ops.ntt_fwd(a_fin, plan)
+    phi_fin = ntt_ops.ntt_inv_modq(
+        protocol.phi_final_hat(alpha_hat, beta_hat, phi_hat, phi_pp_hat,
+                               plan), plan)                # (r, n, d)
+    phi_fin_hat = ntt_ops.ntt_fwd(phi_fin, plan)
+    b = protocol.b_final(alpha_hat, beta_hat, b_hat, b_pp_hat, plan)  # (d,)
+
+    # ---- checks 8-9: symmetry (verification.rs:157-178)
+    checks["c08_g_symmetric"] = jnp.all(proof.g == jnp.swapaxes(proof.g, 0, 1))
+    checks["c09_h_symmetric"] = jnp.all(proof.h == jnp.swapaxes(proof.h, 0, 1))
+
+    # ---- lines 10-13: decompositions (verification.rs:185-225)
+    z_dig = mod_pos(decompose(proof.z, p.b, 2, decomp_mode), p.q)
+    t_dig = protocol.decompose_t(proof.t, p, decomp_mode)
+    g_dig = protocol.decompose_g(proof.g, p, decomp_mode)
+    h_dig = protocol.decompose_h(proof.h, p, decomp_mode)
+
+    # ---- check 14: digit norm bound (verification.rs:231-267)
+    if norm_mode == "exact":
+        total = u64_sum(jnp.concatenate([
+            (z_dig * z_dig).reshape(-1),
+            (t_dig * t_dig).reshape(-1),
+            (g_dig * g_dig).reshape(-1),
+            (h_dig * h_dig).reshape(-1),
+        ]))
+        checks["c14_norm_bound"] = u64_leq_const(total, int(p.beta_prime))
+    elif norm_mode == "f64_reference":
+        # reference-faithful: per-poly integer sums cast to f32/f64 then
+        # float-accumulated — reproduces the documented precision bug class
+        def fsum(digs):
+            per = jnp.sum((digs * digs).astype(jnp.float32), axis=-1)
+            return jnp.sum(per)
+        total_f = fsum(z_dig) + fsum(t_dig) + fsum(g_dig) + fsum(h_dig)
+        checks["c14_norm_bound"] = total_f <= jnp.float32(p.beta_prime)
+    else:
+        raise ValueError(f"unknown norm_mode {norm_mode!r}")
+
+    # ---- check 15: A z == sum_i c_i t_i (verification.rs:274-296)
+    z_hat = ntt_ops.ntt_fwd(proof.z, plan)                     # (P, n, d)
+    a_mat_hat = ntt_ops.ntt_fwd(crs.a_rows(), plan)            # (P,kap,n,d)
+    lhs_hat = ntt_ops.eval_matmul(a_mat_hat, z_hat[:, :, None, :], plan)
+    lhs = ntt_ops.ntt_inv_modq(lhs_hat[:, :, 0, :], plan)      # (kappa, d)
+    c_hat = ntt_ops.ntt_fwd(proof.c, plan)                     # (P, r, d)
+    t_hat = ntt_ops.ntt_fwd(proof.t, plan)                     # (P,r,kap,d)
+    rhs_terms = []
+    for pi_, pr in enumerate(plan.primes):
+        prod = mod_pos(c_hat[pi_][:, None, :] * t_hat[pi_], pr)
+        rhs_terms.append(ntt_ops._mod_sum(prod, pr, axis=0))
+    rhs = ntt_ops.ntt_inv_modq(jnp.stack(rhs_terms), plan)     # (kappa, d)
+    checks["c15_az_vs_ct"] = jnp.all(lhs == rhs)
+
+    # ---- check 16: <z,z> == sum_ij g_ij c_i c_j (verification.rs:303-314)
+    zz = ntt_ops.polyvec_inner_product(proof.z, proof.z, plan)  # (d,)
+    g_hat = ntt_ops.ntt_fwd(proof.g, plan)
+    # c_i * c_j reduced mod q first (one multiplication level), then its
+    # NTT multiplies g/h — keeps every product single-level in the CRT.
+    cc_raw = jnp.stack([mod_pos(c_hat[pi_][:, None, :] *
+                                c_hat[pi_][None, :, :], pr)
+                        for pi_, pr in enumerate(plan.primes)])
+    cc = ntt_ops.ntt_inv_modq(cc_raw, plan)                     # (r, r, d)
+    cc_hat = ntt_ops.ntt_fwd(cc, plan)
+    rhs16 = []
+    for pi_, pr in enumerate(plan.primes):
+        prod = mod_pos(g_hat[pi_] * cc_hat[pi_], pr).reshape(-1, p.d)
+        rhs16.append(ntt_ops._mod_sum(prod, pr, axis=0))
+    rhs16 = ntt_ops.ntt_inv_modq(jnp.stack(rhs16), plan)
+    checks["c16_zz_vs_gcc"] = jnp.all(zz == rhs16)
+
+    # ---- check 17: sum_i <phi_i,z> c_i == sum_ij h_ij c_i c_j
+    # (verification.rs:320-334)
+    h_hat = ntt_ops.ntt_fwd(proof.h, plan)
+    piz_raw = jnp.stack([
+        ntt_ops._mod_sum(
+            mod_pos(phi_fin_hat[pi_] * z_hat[pi_][None, :, :], pr),
+            pr, axis=1)                                         # (r, d)
+        for pi_, pr in enumerate(plan.primes)])
+    piz = ntt_ops.ntt_inv_modq(piz_raw, plan)                   # reduce level
+    piz_hat = ntt_ops.ntt_fwd(piz, plan)
+    lhs17 = []
+    for pi_, pr in enumerate(plan.primes):
+        term = mod_pos(piz_hat[pi_] * c_hat[pi_], pr)
+        lhs17.append(ntt_ops._mod_sum(term, pr, axis=0))
+    lhs17 = ntt_ops.ntt_inv_modq(jnp.stack(lhs17), plan)
+    rhs17 = []
+    for pi_, pr in enumerate(plan.primes):
+        prod = mod_pos(h_hat[pi_] * cc_hat[pi_], pr).reshape(-1, p.d)
+        rhs17.append(ntt_ops._mod_sum(prod, pr, axis=0))
+    rhs17 = ntt_ops.ntt_inv_modq(jnp.stack(rhs17), plan)
+    checks["c17_phiz_vs_hcc"] = jnp.all(lhs17 == rhs17)
+
+    # ---- check 18: sum_ij a_ij g_ij + sum_i h_ii == b (verification.rs:340-352)
+    s18 = []
+    for pi_, pr in enumerate(plan.primes):
+        ag = ntt_ops._mod_sum(
+            mod_pos(a_fin_hat[pi_] * g_hat[pi_], pr).reshape(-1, p.d),
+            pr, axis=0)
+        s18.append(ag)
+    s1 = ntt_ops.ntt_inv_modq(jnp.stack(s18), plan)
+    s2 = mod_pos(jnp.sum(jnp.einsum("iid->id", proof.h) % p.q, axis=0), p.q)
+    checks["c18_agg_relation"] = jnp.all(mod_pos(s1 + s2 - b, p.q) == 0)
+
+    # ---- check 19: recompute u1 (verification.rs:357-415)
+    u1_cand = protocol.u1_from_digits(crs, t_dig, g_dig, p, plan)
+    checks["c19_u1"] = jnp.all(u1_cand == proof.u_1)
+
+    # ---- check 20: recompute u2 (verification.rs:421-434)
+    u2_cand = protocol.u2_from_digits(crs, h_dig, p, plan)
+    checks["c20_u2"] = jnp.all(u2_cand == proof.u_2)
+
+    # ---- b'' constant-term consistency (verification.rs:532-551; the
+    # reference runs this during proving — kept as an explicit check here)
+    expected = protocol.b_pp_expected_const(
+        proof.omega, proof.psi, proof.projection,
+        state.b_prime_k[: p.l_count], p.q)
+    checks["c21_b_pp_const"] = jnp.all(proof.b_prime_prime[:, 0] == expected)
+
+    core = [v for k, v in checks.items() if not k.startswith("c21")]
+    checks["all"] = jnp.all(jnp.stack(core))
+    checks["all_with_bpp"] = checks["all"] & checks["c21_b_pp_const"]
+    return checks
+
+
+def verify(params: LabradorParams, state: State, proof: Transcript,
+           crs, **kw) -> bool:
+    """Boolean verdict over the reference's 14-check predicate."""
+    return bool(verify_report(params, state, proof, crs, **kw)["all"])
