@@ -28,7 +28,8 @@ def _stderr(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def bench_polymul(batch: int = 100_000, iters: int = 20) -> float:
+def bench_polymul(batch: int = 100_000, iters: int = 20,
+                  use_pallas: bool = False) -> float:
     """Rq polymul ops/s (steady state, compile excluded)."""
     import jax
     import jax.numpy as jnp
@@ -42,7 +43,12 @@ def bench_polymul(batch: int = 100_000, iters: int = 20) -> float:
     a = sampling.uniform_zq(key, (batch, p.d), p.q)
     b = sampling.uniform_zq(jax.random.fold_in(key, 1), (batch, p.d), p.q)
 
-    f = jax.jit(lambda a, b: ntt.negacyclic_polymul(a, b, plan))
+    if use_pallas:
+        from labrador_tpu.ops import ntt_pallas
+        f = jax.jit(lambda a, b: ntt_pallas.negacyclic_polymul_pallas(
+            a, b, plan))
+    else:
+        f = jax.jit(lambda a, b: ntt.negacyclic_polymul(a, b, plan))
     r = f(a, b)
     jax.block_until_ready(r)  # compile + warm
     t0 = time.perf_counter()
@@ -96,6 +102,10 @@ def main():
     ap.add_argument("--calibrate", action="store_true",
                     help="write bench_baseline.json from this run (CPU)")
     ap.add_argument("--skip-e2e", action="store_true")
+    ap.add_argument("--pallas", action="store_true",
+                    help="force the fused Pallas polymul kernel")
+    ap.add_argument("--no-pallas", action="store_true",
+                    help="force the plain XLA polymul path")
     args = ap.parse_args()
 
     if args.cpu or args.calibrate:
@@ -107,8 +117,12 @@ def main():
 
     batch = 10_000 if args.quick else 100_000
     iters = 3 if args.quick else 20
-    ops = bench_polymul(batch=batch, iters=iters)
-    _stderr(f"polymul: {ops:,.0f} ops/s (batch={batch})")
+    # default: fused Pallas kernel on real TPUs, XLA path elsewhere
+    on_tpu = jax.devices()[0].platform != "cpu"
+    use_pallas = (args.pallas or on_tpu) and not args.no_pallas
+    ops = bench_polymul(batch=batch, iters=iters, use_pallas=use_pallas)
+    _stderr(f"polymul ({'pallas' if use_pallas else 'xla'}): "
+            f"{ops:,.0f} ops/s (batch={batch})")
 
     if not (args.quick or args.skip_e2e):
         e2e = bench_e2e()

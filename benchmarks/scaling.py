@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""End-to-end prove+verify scaling bench — the analog of the reference's
+``benches/labrador_perf.rs:11-49``: witness size sweeps 2^2 .. 2^max by
+alternately doubling n and r, timing steady-state prove and verify at each
+size.  Emits one JSON line per config.
+
+Usage:
+  python benchmarks/scaling.py --max-pow 14            # on TPU
+  python benchmarks/scaling.py --max-pow 8 --cpu       # CPU smoke
+  python benchmarks/scaling.py --max-pow 14 --kappa 256  # realistic rank
+
+Note: with the reference's kappa = n*d rule the outer commitment is
+quadratic in witness size (B matrices are (n*d)^2 ring elements) — exactly
+why the reference's own bench stops being practical long before its
+aspirational 2^20 (labrador_perf.rs:22).  --kappa bounds the rank for
+large-scale runs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--max-pow", type=int, default=10,
+                    help="max log2 of total witness coefficients (r*n*d)")
+    ap.add_argument("--min-pow", type=int, default=8)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--kappa", type=int, default=0,
+                    help="commitment-rank override (0 = reference n*d rule)")
+    ap.add_argument("--iters", type=int, default=3)
+    args = ap.parse_args()
+
+    import os
+    if args.cpu:
+        os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+
+    from labrador_tpu.params import LabradorParams
+    from labrador_tpu import sampling, structs, prover, verifier
+    from labrador_tpu.crs import CRS
+
+    print(f"# devices: {jax.devices()}", file=sys.stderr, flush=True)
+
+    n, r = 2, 2  # start at 2^2 ring elements * d coeffs
+    results = []
+    for pow2 in range(2, args.max_pow - 5 + 1):  # r*n (ring elems) = 2^pow2
+        total_coeffs = n * r * 64
+        if total_coeffs.bit_length() - 1 > args.max_pow:
+            break
+        if total_coeffs.bit_length() - 1 >= args.min_pow:
+            p = LabradorParams(n=n, r=r, kappa_override=args.kappa)
+            key = jax.random.key(pow2)
+            kw, ks, kv = jax.random.split(key, 3)
+            t0 = time.perf_counter()
+            witness = sampling.generate_witness(kw, p)
+            state = structs.generate_state(ks, witness, p)
+            crs = CRS.create(p, seed=0xBE7C + pow2)
+            proof = jax.block_until_ready(
+                prover.prove(p, witness, state, crs, kv))
+            compile_s = time.perf_counter() - t0
+            assert bool(proof.jl_ok) and bool(proof.b_pp_ok)
+
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                proof = prover.prove(p, witness, state, crs, kv)
+            jax.block_until_ready(proof)
+            t_prove = (time.perf_counter() - t0) / args.iters
+
+            rep = jax.block_until_ready(
+                verifier.verify_report(p, state, proof, crs))
+            ok = bool(rep["all"])
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                rep = verifier.verify_report(p, state, proof, crs)
+            jax.block_until_ready(rep["all"])
+            t_verify = (time.perf_counter() - t0) / args.iters
+
+            size = structs.transcript_size_in_bytes(
+                jax.device_get(proof), p.q)
+            row = {
+                "witness_coeffs": total_coeffs, "n": n, "r": r,
+                "kappa": p.kappa, "prove_ms": round(t_prove * 1e3, 2),
+                "verify_ms": round(t_verify * 1e3, 2),
+                "proof_kb": round(size / 1024, 1),
+                "verified": ok, "first_run_s": round(compile_s, 1),
+            }
+            results.append(row)
+            print(json.dumps(row), flush=True)
+        # alternate doubling (labrador_perf.rs:23-30)
+        if pow2 % 2 == 0:
+            n *= 2
+        else:
+            r *= 2
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -142,16 +142,21 @@ class CRS:
 
     # -- dynamic-index expansion (sharded/tiled consumers) -----------------
     def _expand_dyn(self, base: int, idx0, stride0: int,
-                    shape: tuple[int, ...], strides: tuple[int, ...]) -> jax.Array:
-        """Expand a tile whose origin depends on a *traced* index.
+                    shape: tuple[int, ...], strides: tuple[int, ...],
+                    idx1=None, stride1: int = 0) -> jax.Array:
+        """Expand a tile whose origin depends on *traced* indices.
 
-        offset[i0, i1, ...] = base + idx0 * stride0 + sum_k i_k * strides[k].
-        `idx0` is a traced nonneg int32 scalar (e.g. derived from
-        jax.lax.axis_index inside shard_map); everything else is static.
+        offset[i0, i1, ...] = base + idx0*stride0 [+ idx1*stride1]
+                              + sum_k i_k * strides[k].
+        idx0/idx1 are traced nonneg int32 scalars (scan counters, shard
+        indices from jax.lax.axis_index); everything else is static.
         64-bit offset arithmetic is emulated on uint32 pairs (ops/prg.py).
         """
         start = prg.offset_add(prg.offset_const(base),
                                prg.offset_mul_i32(jnp.int32(idx0), stride0))
+        if idx1 is not None:
+            start = prg.offset_add(
+                start, prg.offset_mul_i32(jnp.int32(idx1), stride1))
         off = (jnp.asarray(start[0], jnp.uint32),
                jnp.asarray(start[1], jnp.uint32))
         for ax, (n_ax, s_ax) in enumerate(zip(shape, strides)):
@@ -180,6 +185,32 @@ class CRS:
         return self._expand_dyn(self._b_start(i, k), col0, p.d,
                                 (p.kappa_1, ncols, p.d),
                                 (p.kappa * p.d, p.d, 1))
+
+    def b_mat_dyn(self, m, col0=0, ncols: int | None = None) -> jax.Array:
+        """(kappa_1, ncols, d) column block of the m-th B matrix, where
+        m = i * t_1 + k is a *traced* linear matrix index (the offset layout
+        is linear in m, structs.rs:82) — enables lax.scan over all B
+        matrices with one traced body."""
+        p = self.params
+        ncols = p.kappa if ncols is None else ncols
+        size_b = p.kappa_1 * p.kappa
+        return self._expand_dyn(self._off_b, m, size_b,
+                                (p.kappa_1, ncols, p.d),
+                                (p.kappa * p.d, p.d, 1),
+                                idx1=col0, stride1=p.d)
+
+    def c_vec_dyn(self, oc) -> jax.Array:
+        """(kappa_2, d) C column at traced linear offset index
+        oc = k + t_1 * tri(i, j)  (structs.rs:106 layout, incl. the t_1
+        quirk)."""
+        p = self.params
+        return self._expand_dyn(self._off_c, oc, p.kappa_2 * p.d,
+                                (p.kappa_2, p.d), (p.d, 1))
+
+    def d_vec_dyn(self, oc) -> jax.Array:
+        p = self.params
+        return self._expand_dyn(self._off_d, oc, p.kappa_2 * p.d,
+                                (p.kappa_2, p.d), (p.d, 1))
 
     # -- batch materializers (small configs / tests) -----------------------
     def b_all(self) -> jax.Array:

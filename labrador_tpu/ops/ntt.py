@@ -53,8 +53,8 @@ def _primitive_root(p: int) -> int:
     raise ValueError(f"no primitive root for {p}")
 
 
-@dataclass(frozen=True)
-class NttPlan:
+@dataclass(frozen=True, eq=False)  # eq=False: identity hash (plans are
+class NttPlan:                      # lru_cached singletons; ndarray fields)
     """Precomputed transform + CRT data for a (q, d, primes) triple."""
 
     q: int

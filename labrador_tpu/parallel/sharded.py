@@ -46,17 +46,25 @@ def _ajtai_rows_local(crs, s_hat, params, plan, rows_per: int):
 
 def _u1_lhs_partial(crs, t_dig_loc, params, plan, rows_per: int):
     """Partial u1 lhs from this device's kappa-slice of the t digits:
-    contraction-sharded sum_{i,k} B_ik[:, local cols] t_i^{(k)}[local]."""
+    contraction-sharded sum_{i,k} B_ik[:, local cols] t_i^{(k)}[local],
+    scanned over the linear B-matrix index m = i*t_1 + k."""
     p = params
     idx = jax.lax.axis_index("rows")
-    acc = None
-    for i in range(p.r):
-        for k in range(p.t_1):
-            b_blk = crs.b_cols_dyn(i, k, idx * rows_per, rows_per)
-            b_hat = ntt_ops.ntt_fwd(b_blk, plan)           # (P,k1,rows,d)
-            t_hat = ntt_ops.ntt_fwd(t_dig_loc[k, i][:, None, :], plan)
-            prod = ntt_ops.eval_matmul(b_hat, t_hat, plan)[:, :, 0, :]
-            acc = prod if acc is None else protocol._eval_add(acc, prod, plan)
+    col0 = idx * rows_per
+    t_stream = jnp.swapaxes(t_dig_loc, 0, 1).reshape(
+        p.r * p.t_1, rows_per, p.d)
+    P = len(plan.primes)
+
+    def body(acc, m):
+        b_blk = crs.b_mat_dyn(m, col0=col0, ncols=rows_per)
+        b_hat = ntt_ops.ntt_fwd(b_blk, plan)               # (P,k1,rows,d)
+        t_m = jax.lax.dynamic_index_in_dim(t_stream, m, 0, keepdims=False)
+        t_hat = ntt_ops.ntt_fwd(t_m[:, None, :], plan)
+        prod = ntt_ops.eval_matmul(b_hat, t_hat, plan)[:, :, 0, :]
+        return protocol._eval_add(acc, prod, plan), None
+
+    acc0 = jnp.zeros((P, p.kappa_1, p.d), jnp.int32)
+    acc, _ = jax.lax.scan(body, acc0, jnp.arange(p.r * p.t_1))
     return acc                                             # (P, kappa_1, d)
 
 
@@ -151,16 +159,7 @@ def _prove_sharded_core(params: LabradorParams, n_rows: int,
 
 
 def _u1_rhs(crs, g_dig, params, plan):
-    p = params
-    acc = None
-    for i in range(p.r):
-        for j in range(i, p.r):
-            for k in range(p.t_2):
-                c_hat = ntt_ops.ntt_fwd(crs.c_vec(i, j, k), plan)
-                gd_hat = ntt_ops.ntt_fwd(g_dig[k, i, j], plan)
-                prod = protocol._eval_scale(c_hat, gd_hat, plan)
-                acc = prod if acc is None else protocol._eval_add(acc, prod, plan)
-    return acc
+    return protocol.u1_rhs_hat(crs, g_dig, params, plan)
 
 
 def make_sharded_prover(params: LabradorParams, mesh: Mesh,

@@ -148,6 +148,20 @@ class LabradorParams:
     k_count: int = K_DEFAULT  # |F|,  reference K
     l_count: int = L_DEFAULT  # |F'|, reference L
     q_start: int = Q_START_DEFAULT
+    # --- extensions over the reference (all default to reference behavior):
+    # kappa_override: realistic (constant) Ajtai commitment rank instead of
+    #   the reference's kappa = n*d (constants.rs:237 hardcodes rank to the
+    #   full lattice dimension, making every outer commitment quadratic in
+    #   witness size; real Module-SIS binding needs only ~security/log q
+    #   rows).  0 keeps the reference rule.
+    kappa_override: int = 0
+    # exact_digits: digit counts t_1/t_2 = ceil(log_b q) so balanced-digit
+    #   decomposition reconstructs exactly (required by recursion); the
+    #   reference's round()-based counts (constants.rs:244,246) undershoot.
+    exact_digits: bool = False
+    # beta_override: explicit witness norm bound (recursion carries the
+    #   digit-norm bound of the outer proof instead of deriving beta from q).
+    beta_override: int = 0
 
     # Derived (filled in __post_init__ via object.__setattr__):
     beta_bound: int = field(init=False, default=0)
@@ -171,20 +185,23 @@ class LabradorParams:
         object.__setattr__(self, "q", q)
         n, r, d = self.n, self.r, self.d
 
-        # constants.rs:237-239 — commitment ranks = lattice dimension n*d.
-        kappa = n * d
+        # constants.rs:237-239 — commitment ranks = lattice dimension n*d
+        # (or the explicit override; see field docs above).
+        kappa = self.kappa_override if self.kappa_override else n * d
         object.__setattr__(self, "kappa", kappa)
         object.__setattr__(self, "kappa_1", kappa)
         object.__setattr__(self, "kappa_2", kappa)
 
         # constants.rs:241 — beta = floor(sqrt(30/128) * q / 125)
-        beta = math.floor(math.sqrt(30.0 / 128.0) * float(q) / 125.0)
+        beta = self.beta_override or \
+            math.floor(math.sqrt(30.0 / 128.0) * float(q) / 125.0)
         object.__setattr__(self, "beta_bound", int(beta))
         # constants.rs:242 — gothic s
         std = float(beta) / math.sqrt(float(r * n * d))
         object.__setattr__(self, "std", std)
         # constants.rs:243 — b = round(sqrt(sqrt(12 r tau) * std))
         b = _rust_round(math.sqrt(math.sqrt(12.0 * float(r) * TAU) * std))
+        b = max(int(b), 2)  # guard: degenerate tiny-std configs
         object.__setattr__(self, "b", int(b))
         # constants.rs:244 — t1 = round(log2 q / log2 b)
         t_1 = _rust_round(math.log2(float(q)) / math.log2(float(b)))
@@ -201,7 +218,19 @@ class LabradorParams:
         b_2 = _rust_round(
             (math.sqrt(float(24 * n * d)) * std**2) ** (1.0 / float(t_2))
         )
+        b_2 = max(int(b_2), 2)
         object.__setattr__(self, "b_2", int(b_2))
+        if self.exact_digits:
+            # enough balanced digits that b^t covers the full centered range
+            # of Zq (exact reconstruction; required by recursion).  The
+            # reference's round()-based counts undershoot: e.g. q=8191,
+            # b1=9 gives t1=4 but 9^4 = 6561 < q.
+            b_1 = max(b_1, 2)
+            object.__setattr__(self, "b_1", int(b_1))
+            t_1 = _ceil_log(q, b_1)
+            t_2 = _ceil_log(q, b_2)
+            object.__setattr__(self, "t_1", int(t_1))
+            object.__setattr__(self, "t_2", int(t_2))
 
         # constants.rs:250-254 — NOTE: all four stored SQUARED, faithfully.
         gamma = float(beta * beta) * TAU
@@ -246,6 +275,17 @@ class LabradorParams:
             f"kappa={self.kappa}, beta'^2={self.beta_prime:.1f}, "
             f"crt_primes={self.crt_primes})"
         )
+
+
+def _ceil_log(q: int, b: int) -> int:
+    """Smallest t with b**t >= q (so centered base-b digits of length t
+    represent any centered residue exactly)."""
+    t = 1
+    v = b
+    while v < q:
+        v *= b
+        t += 1
+    return t
 
 
 def _rust_round(x: float) -> int:

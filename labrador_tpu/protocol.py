@@ -161,30 +161,85 @@ def b_final(alpha_hat: jax.Array, beta_hat: jax.Array, b_hat: jax.Array,
 # verification.rs:357-434)
 # ---------------------------------------------------------------------------
 
+def _tri_stream(mat_dig: jax.Array, params: LabradorParams) -> jax.Array:
+    """(t, r, r, d) digit tensor -> (n_tri, t, d) upper-triangle stream in
+    (i<=j, k) order, matching the CRS C/D column layout."""
+    p = params
+    rows = []
+    for i in range(p.r):
+        for j in range(i, p.r):
+            rows.append(mat_dig[:, i, j, :])
+    return jnp.stack(rows)
+
+
 def u1_from_digits(crs, t_dig: jax.Array, g_dig: jax.Array,
                    params: LabradorParams, plan) -> jax.Array:
     """u1 = sum_{i,k} B_ik t_i^{(k)} + sum_{i<=j,k} C_ijk g_ij^{(k)}.
 
     t_dig: (t_1, r, kappa, d) residues mod q; g_dig: (t_2, r, r, d).
-    CRS tiles are generated on the fly — B matrices never coexist in memory.
-    -> (kappa_1, d) coeff domain.
+    Both sums run as lax.scan over traced CRS offsets: one compiled body
+    regardless of r/t_1 (compile-time O(1)), and B/C tiles are generated
+    on the fly — the CRS never materializes.  -> (kappa_1, d) coeff domain.
+    (proofgen.rs:100-153 / verification.rs:357-415)
     """
     p = params
-    acc = None
-    for i in range(p.r):
-        for k in range(p.t_1):
-            b_hat = ntt_ops.ntt_fwd(crs.b_rows(i, k), plan)       # (P,k1,kap,d)
-            t_hat = ntt_ops.ntt_fwd(t_dig[k, i][:, None, :], plan)  # (P,kap,1,d)
+    P = len(plan.primes)
+    # lhs: m = i*t_1 + k indexes both the CRS B layout and the t digits
+    t_stream = jnp.swapaxes(t_dig, 0, 1).reshape(p.r * p.t_1, p.kappa, p.d)
+    col_tiled = p.kappa > U1_COL_TILE and p.kappa % U1_COL_TILE == 0
+
+    def body_b(acc, m):
+        t_m = jax.lax.dynamic_index_in_dim(t_stream, m, 0, keepdims=False)
+        if not col_tiled:
+            b_hat = ntt_ops.ntt_fwd(crs.b_mat_dyn(m), plan)    # (P,k1,kap,d)
+            t_hat = ntt_ops.ntt_fwd(t_m[:, None, :], plan)      # (P,kap,1,d)
             prod = ntt_ops.eval_matmul(b_hat, t_hat, plan)[:, :, 0, :]
-            acc = prod if acc is None else _eval_add(acc, prod, plan)
-    for i in range(p.r):
-        for j in range(i, p.r):
-            for k in range(p.t_2):
-                c_hat = ntt_ops.ntt_fwd(crs.c_vec(i, j, k), plan)  # (P,k2,d)
-                gd_hat = ntt_ops.ntt_fwd(g_dig[k, i, j], plan)     # (P,d)
-                prod = _eval_scale(c_hat, gd_hat, plan)
-                acc = _eval_add(acc, prod, plan)
+            return _eval_add(acc, prod, plan), None
+
+        # column-tiled: stream B_ik in (kappa_1 x U1_COL_TILE) tiles so the
+        # kappa_1 x kappa matrix never materializes (contraction over kappa
+        # accumulates across tiles)
+        def col_body(acc_c, c):
+            col0 = c * U1_COL_TILE
+            b_blk = crs.b_mat_dyn(m, col0=col0, ncols=U1_COL_TILE)
+            b_hat = ntt_ops.ntt_fwd(b_blk, plan)           # (P,k1,tile,d)
+            t_blk = jax.lax.dynamic_slice_in_dim(t_m, col0, U1_COL_TILE, 0)
+            t_hat = ntt_ops.ntt_fwd(t_blk[:, None, :], plan)
+            prod = ntt_ops.eval_matmul(b_hat, t_hat, plan)[:, :, 0, :]
+            return _eval_add(acc_c, prod, plan), None
+
+        acc, _ = jax.lax.scan(col_body, acc,
+                              jnp.arange(p.kappa // U1_COL_TILE))
+        return acc, None
+
+    acc0 = jnp.zeros((P, p.kappa_1, p.d), jnp.int32)
+    acc, _ = jax.lax.scan(body_b, acc0, jnp.arange(p.r * p.t_1))
+    acc = _eval_add(acc, u1_rhs_hat(crs, g_dig, p, plan), plan)
     return ntt_ops.ntt_inv_modq(acc, plan)
+
+
+def u1_rhs_hat(crs, g_dig: jax.Array, params: LabradorParams, plan) -> jax.Array:
+    """Eval-domain sum_{i<=j,k} C_ijk g_ij^{(k)}: triangle stream scanned
+    over the CRS offset index oc = k + t_1 * tri (quirk: the multiplier is
+    t_1 even though k < t_2, structs.rs:106)."""
+    p = params
+    P = len(plan.primes)
+    g_stream = _tri_stream(g_dig, p)                            # (tri, t2, d)
+    n_tri = g_stream.shape[0]
+    g_flat = g_stream.reshape(n_tri * p.t_2, p.d)
+
+    def body_c(acc, mt):
+        tri = mt // p.t_2
+        k = mt % p.t_2
+        oc = k + p.t_1 * tri
+        c_hat = ntt_ops.ntt_fwd(crs.c_vec_dyn(oc), plan)        # (P,k2,d)
+        gd = jax.lax.dynamic_index_in_dim(g_flat, mt, 0, keepdims=False)
+        gd_hat = ntt_ops.ntt_fwd(gd, plan)                      # (P,d)
+        return _eval_add(acc, _eval_scale(c_hat, gd_hat, plan), plan), None
+
+    acc0 = jnp.zeros((P, p.kappa_2, p.d), jnp.int32)
+    acc, _ = jax.lax.scan(body_c, acc0, jnp.arange(n_tri * p.t_2))
+    return acc
 
 
 def u2_from_digits(crs, h_dig: jax.Array, params: LabradorParams,
@@ -192,14 +247,22 @@ def u2_from_digits(crs, h_dig: jax.Array, params: LabradorParams,
     """u2 = sum_{i<=j, k<t_1} D_ijk h_ij^{(k)}  ->  (kappa_2, d).
     (proofgen.rs:364-378 / verification.rs:421-434)"""
     p = params
-    acc = None
-    for i in range(p.r):
-        for j in range(i, p.r):
-            for k in range(p.t_1):
-                d_hat = ntt_ops.ntt_fwd(crs.d_vec(i, j, k), plan)
-                hd_hat = ntt_ops.ntt_fwd(h_dig[k, i, j], plan)
-                prod = _eval_scale(d_hat, hd_hat, plan)
-                acc = prod if acc is None else _eval_add(acc, prod, plan)
+    P = len(plan.primes)
+    h_stream = _tri_stream(h_dig, p)                            # (tri, t1, d)
+    n_tri = h_stream.shape[0]
+    h_flat = h_stream.reshape(n_tri * p.t_1, p.d)
+
+    def body_d(acc, mt):
+        tri = mt // p.t_1
+        k = mt % p.t_1
+        oc = k + p.t_1 * tri
+        d_hat = ntt_ops.ntt_fwd(crs.d_vec_dyn(oc), plan)
+        hd = jax.lax.dynamic_index_in_dim(h_flat, mt, 0, keepdims=False)
+        hd_hat = ntt_ops.ntt_fwd(hd, plan)
+        return _eval_add(acc, _eval_scale(d_hat, hd_hat, plan), plan), None
+
+    acc0 = jnp.zeros((P, p.kappa_2, p.d), jnp.int32)
+    acc, _ = jax.lax.scan(body_d, acc0, jnp.arange(n_tri * p.t_1))
     return ntt_ops.ntt_inv_modq(acc, plan)
 
 
@@ -219,28 +282,69 @@ def _eval_scale(vec_hat, poly_hat, plan):
 # Ajtai commitment
 # ---------------------------------------------------------------------------
 
+# Tiling thresholds for streaming CRS consumers (SURVEY.md hard part (c):
+# never materialize kappa_1 x kappa matrices).  Tiles are sized so the
+# transient coefficient + eval tensors stay well under HBM capacity even at
+# kappa ~ 2^14.
+AJTAI_ROW_TILE = 2048
+U1_COL_TILE = 512
+
+
 def ajtai_commit(crs, s_hat: jax.Array, params: LabradorParams,
                  plan) -> jax.Array:
     """t_i = A s_i for all i: (P, r, n, d) witness -> (r, kappa, d) coeff.
-    (proofgen.rs:41-49)"""
-    a_hat = ntt_ops.ntt_fwd(crs.a_rows(), plan)            # (P, kappa, n, d)
+    Row-tiled when kappa is large: A tiles are PRG-expanded, transformed,
+    multiplied, and discarded inside a scan.  (proofgen.rs:41-49)"""
+    p = params
     st = jnp.swapaxes(s_hat, -3, -2)                       # (P, n, r, d)
-    t_hat = ntt_ops.eval_matmul(a_hat, st, plan)           # (P, kappa, r, d)
-    t = ntt_ops.ntt_inv_modq(t_hat, plan)                  # (kappa, r, d)
-    return jnp.swapaxes(t, 0, 1)                           # (r, kappa, d)
+    if p.kappa <= AJTAI_ROW_TILE or p.kappa % AJTAI_ROW_TILE != 0:
+        a_hat = ntt_ops.ntt_fwd(crs.a_rows(), plan)        # (P, kappa, n, d)
+        t_hat = ntt_ops.eval_matmul(a_hat, st, plan)       # (P, kappa, r, d)
+        t = ntt_ops.ntt_inv_modq(t_hat, plan)
+        return jnp.swapaxes(t, 0, 1)
+
+    n_tiles = p.kappa // AJTAI_ROW_TILE
+
+    def body(_, i):
+        a_blk = crs.a_rows_dyn(i * AJTAI_ROW_TILE, AJTAI_ROW_TILE)
+        a_hat = ntt_ops.ntt_fwd(a_blk, plan)
+        t_hat = ntt_ops.eval_matmul(a_hat, st, plan)       # (P, tile, r, d)
+        return None, ntt_ops.ntt_inv_modq(t_hat, plan)     # (tile, r, d)
+
+    _, tiles = jax.lax.scan(body, None, jnp.arange(n_tiles))
+    t = tiles.reshape(p.kappa, p.r, p.d)
+    return jnp.swapaxes(t, 0, 1)
+
+
+def _decompose_protocol(x: jax.Array, base: int, ndig: int, q: int,
+                        mode: str) -> jax.Array:
+    """Protocol-level decomposition -> digit residues mod q.
+
+    mode='reference': digits of the raw residue with the quirky centered_rep
+    rule (bit-compatible with the reference).  mode='exact': balanced digits
+    of the *centered* representative — exact reconstruction mod q, small
+    digit norms, and recomposable by the recursion layer (recursion.py
+    re-derives exactly these digits from the transcript)."""
+    if mode == "exact":
+        x = jnp.where(x > q // 2, x - q, x)
+    digs = decompose(x, base, ndig, mode)
+    return mod_pos(digs, q)
 
 
 def decompose_t(t: jax.Array, params: LabradorParams, mode: str) -> jax.Array:
     """(r, kappa, d) -> (t_1, r, kappa, d) digits (residues mod q)."""
-    digs = decompose(t, params.b_1, params.t_1, mode)
-    return mod_pos(digs, params.q)
+    return _decompose_protocol(t, params.b_1, params.t_1, params.q, mode)
 
 
 def decompose_g(g: jax.Array, params: LabradorParams, mode: str) -> jax.Array:
-    digs = decompose(g, params.b_2, params.t_2, mode)
-    return mod_pos(digs, params.q)
+    return _decompose_protocol(g, params.b_2, params.t_2, params.q, mode)
 
 
 def decompose_h(h: jax.Array, params: LabradorParams, mode: str) -> jax.Array:
-    digs = decompose(h, params.b_1, params.t_1, mode)
-    return mod_pos(digs, params.q)
+    return _decompose_protocol(h, params.b_1, params.t_1, params.q, mode)
+
+
+def decompose_z(z: jax.Array, params: LabradorParams, mode: str,
+                ndig: int = 2) -> jax.Array:
+    """Verifier line 10 (z = z^(0) + z^(1) b, verification.rs:183-185)."""
+    return _decompose_protocol(z, params.b, ndig, params.q, mode)

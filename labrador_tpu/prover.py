@@ -24,6 +24,8 @@ from .params import LabradorParams
 from .ops import ntt as ntt_ops
 from .ops.modmath import mod_pos, sum_sq_u64, u64_leq_const
 from . import protocol, sampling
+from .oracle import (InteractiveOracle, FiatShamirOracle,
+                     DOM_U1, DOM_JL, DOM_BPP, DOM_U2)
 from .structs import State, Transcript
 
 # Verifier-randomness derivation tags (protocol message order)
@@ -51,10 +53,16 @@ def jl_project(key: jax.Array, witness_flat: jax.Array,
     keys = jax.random.split(key, p.r)
     pi = jax.vmap(lambda k: sampling.sample_jl_matrix(k, p))(keys)
 
-    # integer matmul: pi (r,256,nd) @ s (r,nd) summed over r.
-    # s < q <= 2^15: centered two-limb int8 split keeps this on the int8 MXU.
+    # integer matmul: pi (r,256,nd) @ s (r,nd) summed over r, over the
+    # *centered* representatives.  For reference-style witnesses (small
+    # nonneg coefficients, proofgen.rs:460-518) centering is the identity,
+    # so this matches ``Zq::lift_inv`` raw-residue behavior there; for
+    # recursion witnesses (centered digits stored mod q) it recovers the
+    # true small integers.  Two-limb int8 split keeps this on the int8 MXU.
     from .ops.modmath import split_i8
-    w_hi, w_lo = split_i8(witness_flat)              # x = hi*256 + lo
+    w_centered = jnp.where(witness_flat > p.q // 2,
+                           witness_flat - p.q, witness_flat)
+    w_hi, w_lo = split_i8(w_centered)                # x = hi*256 + lo
     pi_flat = jnp.moveaxis(pi, 1, 0).reshape(256, -1)  # (256, r*nd)
     wf_hi = w_hi.reshape(-1)
     wf_lo = w_lo.reshape(-1)
@@ -97,11 +105,14 @@ def _jl_with_retries(key: jax.Array, witness_flat: jax.Array,
 
 
 def prove_impl(params: LabradorParams, witness: jax.Array, state: State,
-               crs, verifier_key: jax.Array,
+               crs, oracle,
                decomp_mode: str = "reference") -> Transcript:
     """Proof generation (unjitted core — compose with vmap/shard_map; use
-    ``prove`` for the jitted entry point).  `crs` is a CRS pytree (traced
-    key, static params) so compiled programs are reused across seeds."""
+    ``prove``/``prove_fs`` for the jitted entry points).  `crs` is a CRS
+    pytree (traced key, static params) so compiled programs are reused
+    across seeds; `oracle` supplies challenges (oracle.py) and absorbs the
+    protocol messages in order for the Fiat-Shamir mode."""
+    ost = oracle.init()
     p = params
     plan = ntt_ops.plan_for(p)
     s_hat = ntt_ops.ntt_fwd(witness, plan)                # (P, r, n, d)
@@ -119,17 +130,21 @@ def prove_impl(params: LabradorParams, witness: jax.Array, state: State,
     u_1 = protocol.u1_from_digits(crs, t_dig, g_dig, p, plan)
 
     # -- step 4: JL projection with retries (proofgen.rs:161-186)
+    ost = oracle.absorb(ost, DOM_U1, [u_1])
     witness_flat = witness.reshape(p.r, p.n * p.d)
     pi, proj_int, jl_ok = _jl_with_retries(
-        _vkey(verifier_key, TAG_JL), witness_flat, p)
+        oracle.challenge_key(ost, TAG_JL), witness_flat, p)
     projection = mod_pos(proj_int, p.q)                   # lift (proofgen.rs:186)
+    ost = oracle.absorb(ost, DOM_JL, [pi, projection])
 
     # -- step 5: first aggregation (proofgen.rs:189-289)
     ub = p.upper_bound
-    psi = jax.vmap(lambda i: sampling.sample_psi(
-        _vkey(verifier_key, TAG_PSI, i), p))(jnp.arange(ub))      # (ub, L)
-    omega = jax.vmap(lambda i: sampling.sample_omega(
-        _vkey(verifier_key, TAG_OMEGA, i), p))(jnp.arange(ub))    # (ub, 256)
+    # small static counts: unrolled loops trace leaner programs than vmap
+    # over (hash -> key -> sampler-with-while-loop) chains
+    psi = jnp.stack([sampling.sample_psi(
+        oracle.challenge_key(ost, TAG_PSI, i), p) for i in range(ub)])
+    omega = jnp.stack([sampling.sample_omega(
+        oracle.challenge_key(ost, TAG_OMEGA, i), p) for i in range(ub)])
 
     a_prime = state.a_prime_k[: p.l_count]
     phi_prime = state.phi_prime_k[: p.l_count]
@@ -151,8 +166,9 @@ def prove_impl(params: LabradorParams, witness: jax.Array, state: State,
     b_pp_ok = jnp.all(b_pp[:, 0] == expected)
 
     # -- step 6: second aggregation challenges (proofgen.rs:295-314)
-    alpha = sampling.sample_alpha(_vkey(verifier_key, TAG_ALPHA), p)  # (K, d)
-    beta = sampling.sample_beta(_vkey(verifier_key, TAG_BETA), p)     # (ub, d)
+    ost = oracle.absorb(ost, DOM_BPP, [b_pp])
+    alpha = sampling.sample_alpha(oracle.challenge_key(ost, TAG_ALPHA), p)
+    beta = sampling.sample_beta(oracle.challenge_key(ost, TAG_BETA), p)
     alpha_hat = ntt_ops.ntt_fwd(alpha, plan)
     beta_hat = ntt_ops.ntt_fwd(beta, plan)
     phi_hat = ntt_ops.ntt_fwd(state.phi_k, plan)                  # (P,K,r,n,d)
@@ -174,8 +190,9 @@ def prove_impl(params: LabradorParams, witness: jax.Array, state: State,
     u_2 = protocol.u2_from_digits(crs, h_dig, p, plan)
 
     # -- step 9: amortized opening (proofgen.rs:380-399)
-    c = jax.vmap(lambda i: sampling.sample_challenge(
-        _vkey(verifier_key, TAG_CHALLENGE, i), p))(jnp.arange(p.r))  # (r, d)
+    ost = oracle.absorb(ost, DOM_U2, [u_2])
+    c = jnp.stack([sampling.sample_challenge(
+        oracle.challenge_key(ost, TAG_CHALLENGE, i), p) for i in range(p.r)])
     c_hat = ntt_ops.ntt_fwd(c, plan)                              # (P, r, d)
     z_hat_terms = []
     for pi_, pr in enumerate(plan.primes):
@@ -190,4 +207,21 @@ def prove_impl(params: LabradorParams, witness: jax.Array, state: State,
     )
 
 
-prove = partial(jax.jit, static_argnames=("params", "decomp_mode"))(prove_impl)
+@partial(jax.jit, static_argnames=("params", "decomp_mode"))
+def prove(params: LabradorParams, witness: jax.Array, state: State,
+          crs, verifier_key: jax.Array,
+          decomp_mode: str = "reference") -> Transcript:
+    """Interactive-model proof: challenges from a verifier PRNG key
+    (the reference's interaction model with explicit keys)."""
+    return prove_impl(params, witness, state, crs,
+                      InteractiveOracle(vkey=verifier_key), decomp_mode)
+
+
+@partial(jax.jit, static_argnames=("params", "decomp_mode"))
+def prove_fs(params: LabradorParams, witness: jax.Array, state: State,
+             crs, decomp_mode: str = "reference") -> Transcript:
+    """Non-interactive (Fiat-Shamir) proof: challenges derived from a
+    SHA-256 running hash of the protocol messages.  Completes the
+    reference's unfinished roadmap item (README.md:12)."""
+    return prove_impl(params, witness, state, crs,
+                      FiatShamirOracle.create(crs.key), decomp_mode)

@@ -138,6 +138,19 @@ def _bincode_zq_vec(arr: np.ndarray) -> bytes:
     return b"".join(out)
 
 
+def save_transcript(tr: Transcript, path: str) -> None:
+    """Persist a transcript (the reference's only persistence is the
+    serde/bincode serialization at structs.rs:212-221; here: npz)."""
+    arrays = {f: np.asarray(getattr(tr, f))
+              for f in tr.__dataclass_fields__}
+    np.savez_compressed(path, **arrays)
+
+
+def load_transcript(path: str) -> Transcript:
+    with np.load(path) as z:
+        return Transcript(**{k: jnp.asarray(z[k]) for k in z.files})
+
+
 def transcript_size_in_bytes(tr: Transcript, q: int) -> int:
     """Compressed transcript size: bincode-equivalent byte layout + gzip at
     max compression, matching ``Transcript::size_in_bytes``

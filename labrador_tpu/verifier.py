@@ -21,7 +21,10 @@ from .params import LabradorParams
 from .ops import ntt as ntt_ops
 from .ops.decompose import decompose
 from .ops.modmath import mod_pos, u64_sum, u64_leq_const
-from . import protocol
+from . import protocol, sampling
+from .oracle import FiatShamirOracle, DOM_U1, DOM_JL, DOM_BPP, DOM_U2
+from .prover import (TAG_JL, TAG_PSI, TAG_OMEGA, TAG_ALPHA, TAG_BETA,
+                     TAG_CHALLENGE)
 from .structs import State, Transcript
 
 
@@ -68,25 +71,31 @@ def verify_report(params: LabradorParams, state: State, proof: Transcript,
     checks["c09_h_symmetric"] = jnp.all(proof.h == jnp.swapaxes(proof.h, 0, 1))
 
     # ---- lines 10-13: decompositions (verification.rs:185-225)
-    z_dig = mod_pos(decompose(proof.z, p.b, 2, decomp_mode), p.q)
+    z_dig = protocol.decompose_z(proof.z, p, decomp_mode)
     t_dig = protocol.decompose_t(proof.t, p, decomp_mode)
     g_dig = protocol.decompose_g(proof.g, p, decomp_mode)
     h_dig = protocol.decompose_h(proof.h, p, decomp_mode)
 
-    # ---- check 14: digit norm bound (verification.rs:231-267)
+    # ---- check 14: digit norm bound (verification.rs:231-267).
+    # Norms are over the *centered* digit values: identical to the reference
+    # for its always-nonneg-small centered_rep digits, and the only sensible
+    # semantics for exact-mode balanced digits (negatives stored as q-|v|).
+    def _c(digs):
+        return jnp.where(digs > p.q // 2, digs - p.q, digs)
+
     if norm_mode == "exact":
         total = u64_sum(jnp.concatenate([
-            (z_dig * z_dig).reshape(-1),
-            (t_dig * t_dig).reshape(-1),
-            (g_dig * g_dig).reshape(-1),
-            (h_dig * h_dig).reshape(-1),
+            (_c(z_dig) ** 2).reshape(-1),
+            (_c(t_dig) ** 2).reshape(-1),
+            (_c(g_dig) ** 2).reshape(-1),
+            (_c(h_dig) ** 2).reshape(-1),
         ]))
         checks["c14_norm_bound"] = u64_leq_const(total, int(p.beta_prime))
     elif norm_mode == "f64_reference":
         # reference-faithful: per-poly integer sums cast to f32/f64 then
         # float-accumulated — reproduces the documented precision bug class
         def fsum(digs):
-            per = jnp.sum((digs * digs).astype(jnp.float32), axis=-1)
+            per = jnp.sum((_c(digs) ** 2).astype(jnp.float32), axis=-1)
             return jnp.sum(per)
         total_f = fsum(z_dig) + fsum(t_dig) + fsum(g_dig) + fsum(h_dig)
         checks["c14_norm_bound"] = total_f <= jnp.float32(p.beta_prime)
@@ -94,10 +103,10 @@ def verify_report(params: LabradorParams, state: State, proof: Transcript,
         raise ValueError(f"unknown norm_mode {norm_mode!r}")
 
     # ---- check 15: A z == sum_i c_i t_i (verification.rs:274-296)
+    # (A re-expanded from the CRS, row-tiled for large kappa — same
+    # streaming kernel as the prover's Ajtai commitment)
     z_hat = ntt_ops.ntt_fwd(proof.z, plan)                     # (P, n, d)
-    a_mat_hat = ntt_ops.ntt_fwd(crs.a_rows(), plan)            # (P,kap,n,d)
-    lhs_hat = ntt_ops.eval_matmul(a_mat_hat, z_hat[:, :, None, :], plan)
-    lhs = ntt_ops.ntt_inv_modq(lhs_hat[:, :, 0, :], plan)      # (kappa, d)
+    lhs = protocol.ajtai_commit(crs, z_hat[:, None, :, :], p, plan)[0]
     c_hat = ntt_ops.ntt_fwd(proof.c, plan)                     # (P, r, d)
     t_hat = ntt_ops.ntt_fwd(proof.t, plan)                     # (P,r,kap,d)
     rhs_terms = []
@@ -182,3 +191,69 @@ def verify(params: LabradorParams, state: State, proof: Transcript,
            crs, **kw) -> bool:
     """Boolean verdict over the reference's 14-check predicate."""
     return bool(verify_report(params, state, proof, crs, **kw)["all"])
+
+
+@partial(jax.jit, static_argnames=("params",))
+def fs_challenge_report(params: LabradorParams, proof: Transcript,
+                        crs) -> dict:
+    """Non-interactive verification of challenge provenance: re-derive
+    every challenge from the SHA-256 transcript hash and compare against
+    the proof.  Together with verify_report this makes the proof
+    self-contained (no trusted verifier randomness)."""
+    p = params
+    oracle = FiatShamirOracle.create(crs.key)
+    checks: dict[str, jax.Array] = {}
+
+    ost = oracle.init()
+    ost = oracle.absorb(ost, DOM_U1, [proof.u_1])
+
+    # JL matrices: must match one of the bounded retry attempts
+    jl_base = oracle.challenge_key(ost, TAG_JL)
+    pi_match = []
+    for a in range(6):
+        key_a = jax.random.fold_in(jl_base, a)
+        keys = jax.random.split(key_a, p.r)
+        pi_a = jax.vmap(lambda k: sampling.sample_jl_matrix(k, p))(keys)
+        pi_match.append(jnp.all(pi_a == proof.pi))
+    checks["fs_jl_matrix"] = jnp.any(jnp.stack(pi_match))
+
+    # projection norm bound (verification.rs:568-579); transcript stores p
+    # mod q, valid projections have |entries| << q/2 so the centered lift
+    # recovers the integers
+    centered = jnp.where(proof.projection > p.q // 2,
+                         proof.projection - p.q, proof.projection)
+    from .ops.modmath import sum_sq_u64
+    checks["fs_jl_norm"] = u64_leq_const(
+        sum_sq_u64(centered), 128 * p.beta_bound * p.beta_bound)
+
+    ost = oracle.absorb(ost, DOM_JL, [proof.pi, proof.projection])
+    ub = p.upper_bound
+    psi_d = jnp.stack([sampling.sample_psi(
+        oracle.challenge_key(ost, TAG_PSI, i), p) for i in range(ub)])
+    omega_d = jnp.stack([sampling.sample_omega(
+        oracle.challenge_key(ost, TAG_OMEGA, i), p) for i in range(ub)])
+    checks["fs_psi"] = jnp.all(psi_d == proof.psi)
+    checks["fs_omega"] = jnp.all(omega_d == proof.omega)
+
+    ost = oracle.absorb(ost, DOM_BPP, [proof.b_prime_prime])
+    alpha_d = sampling.sample_alpha(oracle.challenge_key(ost, TAG_ALPHA), p)
+    beta_d = sampling.sample_beta(oracle.challenge_key(ost, TAG_BETA), p)
+    checks["fs_alpha"] = jnp.all(alpha_d == proof.alpha)
+    checks["fs_beta"] = jnp.all(beta_d == proof.beta)
+
+    ost = oracle.absorb(ost, DOM_U2, [proof.u_2])
+    c_d = jnp.stack([sampling.sample_challenge(
+        oracle.challenge_key(ost, TAG_CHALLENGE, i), p) for i in range(p.r)])
+    checks["fs_challenge"] = jnp.all(c_d == proof.c)
+
+    checks["fs_all"] = jnp.all(jnp.stack(list(checks.values())))
+    return checks
+
+
+def verify_fs(params: LabradorParams, state: State, proof: Transcript,
+              crs, **kw) -> bool:
+    """Full non-interactive verification: the 14 protocol checks, the b''
+    constant-term check, and Fiat-Shamir challenge provenance."""
+    rep = verify_report(params, state, proof, crs, **kw)
+    fs = fs_challenge_report(params, proof, crs)
+    return bool(rep["all_with_bpp"]) and bool(fs["fs_all"])
