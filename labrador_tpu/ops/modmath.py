@@ -179,6 +179,38 @@ def u64_sum(values_sq: jax.Array, axis=None) -> tuple:
     return acc
 
 
+def u64_sub(x: tuple, y: tuple) -> tuple:
+    """x - y for emulated u64 (wraps mod 2^64 like hardware)."""
+    xh, xl = x
+    yh, yl = y
+    xlu = xl.astype(jnp.uint32)
+    ylu = yl.astype(jnp.uint32)
+    lo = (xlu - ylu).astype(jnp.int32)
+    borrow = (xlu < ylu).astype(jnp.int32)
+    hi = (xh - yh - borrow).astype(jnp.int32)
+    return hi, lo
+
+
+def u64_shr(x: tuple, k: int) -> tuple:
+    """Logical right shift by static k in {1..31} or exactly 32."""
+    hi, lo = x
+    hiu = hi.astype(jnp.uint32)
+    lou = lo.astype(jnp.uint32)
+    if k == 32:
+        return jnp.zeros_like(hi), hiu.astype(jnp.int32)
+    nlo = (lou >> k) | (hiu << (32 - k))
+    nhi = hiu >> k
+    return nhi.astype(jnp.int32), nlo.astype(jnp.int32)
+
+
+def u64_geq_u64(x: tuple, yh: int, yl: int) -> jax.Array:
+    """x >= (yh<<32|yl) for python-int words."""
+    hiu = x[0].astype(jnp.uint32)
+    lou = x[1].astype(jnp.uint32)
+    return (hiu > jnp.uint32(yh)) | ((hiu == jnp.uint32(yh))
+                                     & (lou >= jnp.uint32(yl)))
+
+
 def u64_shl(x: tuple, k: int) -> tuple:
     """Left shift an emulated u64 by a static k in {1..31} or exactly 32."""
     hi, lo = x
