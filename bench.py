@@ -49,12 +49,20 @@ def bench_polymul(batch: int = 100_000, iters: int = 20,
             a, b, plan))
     else:
         f = jax.jit(lambda a, b: ntt.negacyclic_polymul(a, b, plan))
+    # distinct input pairs per iteration so no layer (XLA, runtime relays)
+    # can dedupe repeated identical computations
+    pairs = [(a, b)] + [
+        (sampling.uniform_zq(jax.random.fold_in(key, 10 + i), (batch, p.d), p.q),
+         sampling.uniform_zq(jax.random.fold_in(key, 20 + i), (batch, p.d), p.q))
+        for i in range(3)]
     r = f(a, b)
     jax.block_until_ready(r)  # compile + warm
     t0 = time.perf_counter()
-    for _ in range(iters):
-        r = f(a, b)
-    jax.block_until_ready(r)
+    outs = []
+    for i in range(iters):
+        ai, bi = pairs[i % len(pairs)]
+        outs.append(f(ai, bi))
+    jax.block_until_ready(outs)
     dt = (time.perf_counter() - t0) / iters
     return batch / dt
 

@@ -20,8 +20,11 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
@@ -35,13 +38,16 @@ def main():
     ap.add_argument("--iters", type=int, default=3)
     args = ap.parse_args()
 
-    import os
     if args.cpu:
         os.environ.pop("PALLAS_AXON_POOL_IPS", None)
         import jax
         jax.config.update("jax_platforms", "cpu")
     import jax
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    if args.cpu:
+        # NOTE: the persistent compile cache hangs the axon TPU backend;
+        # CPU only.
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/.cache/jax_comp")
 
     from labrador_tpu.params import LabradorParams
     from labrador_tpu import sampling, structs, prover, verifier

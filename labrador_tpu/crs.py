@@ -27,8 +27,6 @@ Matrix shapes (coefficient domain, int32 in [0, q)):
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -19,7 +19,6 @@ Usage on each host of a pod slice:
 
 from __future__ import annotations
 
-import numpy as np
 import jax
 from jax.sharding import Mesh
 

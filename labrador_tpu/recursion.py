@@ -43,7 +43,6 @@ import numpy as np
 
 from .params import LabradorParams, _ceil_log
 from .ops import ntt as ntt_ops
-from .ops.decompose import decompose
 from .ops.modmath import mod_pos
 from . import protocol
 from .structs import State, Transcript

@@ -7,14 +7,13 @@ jax.random keys — fully jittable, reproducible, and device-resident.
 
 from __future__ import annotations
 
-import math
 from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .params import LabradorParams, TAU, T_OPNORM
+from .params import LabradorParams, T_OPNORM
 from .ops.modmath import mod_pos, u64_sum, u64_leq_const
 from .ops import ntt as ntt_ops
 

@@ -19,7 +19,6 @@ import jax.numpy as jnp
 
 from .params import LabradorParams
 from .ops import ntt as ntt_ops
-from .ops.decompose import decompose
 from .ops.modmath import mod_pos, u64_sum, u64_leq_const
 from . import protocol, sampling
 from .oracle import FiatShamirOracle, DOM_U1, DOM_JL, DOM_BPP, DOM_U2
