@@ -102,6 +102,45 @@ def bench_e2e(n: int = 2, r: int = 2, iters: int = 3) -> dict:
             "proof_kb": size / 1024.0}
 
 
+def bench_batch_prove(batch: int = 16, n: int = 2, r: int = 2,
+                      iters: int = 5) -> float:
+    """Proofs/s for a vmapped batch of independent instances on one chip —
+    the serving-throughput number (distinct witnesses, states, CRS seeds)."""
+    import jax
+    import jax.numpy as jnp
+    from labrador_tpu.params import LabradorParams
+    from labrador_tpu import sampling, structs
+    from labrador_tpu.crs import CRS
+    from labrador_tpu.prover import prove_impl
+    from labrador_tpu.oracle import InteractiveOracle
+
+    p = LabradorParams(n=n, r=r)
+    keys = jax.random.split(jax.random.key(3), batch * 3).reshape(batch, 3)
+    wit = jnp.stack([sampling.generate_witness(k[0], p) for k in keys])
+    states = [structs.generate_state(keys[i][1], wit[i], p)
+              for i in range(batch)]
+    state_b = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+    crs_keys = jnp.stack([CRS.create(p, seed=1000 + i).key
+                          for i in range(batch)])
+    vkeys = jnp.stack([keys[i][2] for i in range(batch)])
+
+    def one(w, st, ck, vk):
+        crs = CRS(key=ck, params=p)
+        return prove_impl(p, w, st, crs, InteractiveOracle(vkey=vk))
+
+    f = jax.jit(jax.vmap(one))
+    out = f(wit, state_b, crs_keys, vkeys)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    outs = []
+    for i in range(iters):
+        outs.append(f(wit, state_b, crs_keys,
+                      jax.vmap(lambda k: jax.random.fold_in(k, i))(vkeys)))
+    jax.block_until_ready(outs)
+    dt = (time.perf_counter() - t0) / iters
+    return batch / dt
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
@@ -114,6 +153,8 @@ def main():
                     help="force the fused Pallas polymul kernel")
     ap.add_argument("--no-pallas", action="store_true",
                     help="force the plain XLA polymul path")
+    ap.add_argument("--batch-prove", type=int, default=0, metavar="B",
+                    help="also measure vmapped proofs/s at batch B")
     args = ap.parse_args()
 
     if args.cpu or args.calibrate:
@@ -160,6 +201,11 @@ def main():
         _stderr(f"e2e prove: {e2e['prove_s']*1e3:.1f} ms, "
                 f"verify: {e2e['verify_s']*1e3:.1f} ms, "
                 f"proof: {e2e['proof_kb']:.1f} KB")
+
+    if args.batch_prove:
+        pps = bench_batch_prove(batch=args.batch_prove)
+        _stderr(f"batched prover throughput: {pps:.1f} proofs/s "
+                f"(batch={args.batch_prove})")
 
 
 if __name__ == "__main__":

@@ -291,10 +291,17 @@ U1_COL_TILE = 512
 
 
 def ajtai_commit(crs, s_hat: jax.Array, params: LabradorParams,
-                 plan) -> jax.Array:
+                 plan, use_pallas: bool = False) -> jax.Array:
     """t_i = A s_i for all i: (P, r, n, d) witness -> (r, kappa, d) coeff.
     Row-tiled when kappa is large: A tiles are PRG-expanded, transformed,
-    multiplied, and discarded inside a scan.  (proofgen.rs:41-49)"""
+    multiplied, and discarded inside a scan.  (proofgen.rs:41-49)
+
+    use_pallas=True runs the fully fused Pallas kernel (ops/ajtai_pallas):
+    PRG + NTT + contraction + Garner in one VMEM-resident pass —
+    bit-identical output."""
+    if use_pallas:
+        from .ops.ajtai_pallas import ajtai_commit_pallas
+        return ajtai_commit_pallas(crs.key, s_hat, params, plan)
     p = params
     st = jnp.swapaxes(s_hat, -3, -2)                       # (P, n, r, d)
     if p.kappa <= AJTAI_ROW_TILE or p.kappa % AJTAI_ROW_TILE != 0:

@@ -106,7 +106,8 @@ def _jl_with_retries(key: jax.Array, witness_flat: jax.Array,
 
 def prove_impl(params: LabradorParams, witness: jax.Array, state: State,
                crs, oracle,
-               decomp_mode: str = "reference") -> Transcript:
+               decomp_mode: str = "reference",
+               kernel_backend: str = "xla") -> Transcript:
     """Proof generation (unjitted core — compose with vmap/shard_map; use
     ``prove``/``prove_fs`` for the jitted entry points).  `crs` is a CRS
     pytree (traced key, static params) so compiled programs are reused
@@ -118,7 +119,8 @@ def prove_impl(params: LabradorParams, witness: jax.Array, state: State,
     s_hat = ntt_ops.ntt_fwd(witness, plan)                # (P, r, n, d)
 
     # -- step 1: inner Ajtai commitments t_i = A s_i (proofgen.rs:41-49)
-    t = protocol.ajtai_commit(crs, s_hat, p, plan)        # (r, kappa, d)
+    t = protocol.ajtai_commit(crs, s_hat, p, plan,
+                              use_pallas=(kernel_backend == "pallas"))
 
     # -- step 2: Gram matrix g_ij = <s_i, s_j> (proofgen.rs:59-70)
     g_hat = protocol.gram_hat(s_hat, plan)
@@ -207,14 +209,16 @@ def prove_impl(params: LabradorParams, witness: jax.Array, state: State,
     )
 
 
-@partial(jax.jit, static_argnames=("params", "decomp_mode"))
+@partial(jax.jit, static_argnames=("params", "decomp_mode", "kernel_backend"))
 def prove(params: LabradorParams, witness: jax.Array, state: State,
           crs, verifier_key: jax.Array,
-          decomp_mode: str = "reference") -> Transcript:
+          decomp_mode: str = "reference",
+          kernel_backend: str = "xla") -> Transcript:
     """Interactive-model proof: challenges from a verifier PRNG key
     (the reference's interaction model with explicit keys)."""
     return prove_impl(params, witness, state, crs,
-                      InteractiveOracle(vkey=verifier_key), decomp_mode)
+                      InteractiveOracle(vkey=verifier_key), decomp_mode,
+                      kernel_backend)
 
 
 @partial(jax.jit, static_argnames=("params", "decomp_mode"))

@@ -62,13 +62,50 @@ class Transcript:
     b_pp_ok: jax.Array
 
 
+def state_from_constraints(a_k: jax.Array, phi_k: jax.Array,
+                           witness: jax.Array,
+                           params: LabradorParams) -> State:
+    """Build a State from user-supplied constraint families.
+
+    a_k: (K, r, r, d) symmetric quadratic coefficients; phi_k: (K, r, n, d)
+    linear coefficients; b_k is derived so each family is satisfied by
+    `witness` (the same b-derivation as ``gen_f``, structs.rs:320-341).
+    This is the entry point for proving *your own* relation rather than the
+    random demo families of generate_state.
+    """
+    p = params
+    plan = ntt_ops.plan_for(p)
+    a_k = mod_pos(jnp.asarray(a_k, jnp.int32), p.q)
+    phi_k = mod_pos(jnp.asarray(phi_k, jnp.int32), p.q)
+    K = a_k.shape[0]
+
+    s_hat = ntt_ops.ntt_fwd(witness, plan)
+    g = ntt_ops.ntt_inv_modq(_gram_hat(s_hat, plan), plan)
+    g_hat = ntt_ops.ntt_fwd(g, plan)
+    a_hat = ntt_ops.ntt_fwd(a_k, plan)
+    phi_hat = ntt_ops.ntt_fwd(phi_k, plan)
+    outs = []
+    for pi_, pr in enumerate(plan.primes):
+        term_a = ntt_ops._mod_sum(
+            mod_pos(a_hat[pi_] * g_hat[pi_][None], pr).reshape(K, -1, p.d),
+            pr, axis=1)
+        term_phi = ntt_ops._mod_sum(
+            mod_pos(phi_hat[pi_] * s_hat[pi_][None], pr).reshape(K, -1, p.d),
+            pr, axis=1)
+        outs.append(mod_pos(term_a + term_phi, pr))
+    b_k = ntt_ops.ntt_inv_modq(jnp.stack(outs), plan)
+
+    return State(a_k=a_k, phi_k=phi_k, b_k=b_k,
+                 a_prime_k=a_k, phi_prime_k=phi_k,
+                 b_prime_k=b_k[:, 0])
+
+
 def generate_state(key: jax.Array, witness: jax.Array,
                    params: LabradorParams) -> State:
     """Random constraint families satisfied by `witness`, mirroring
     ``State::new``/``gen_f`` (``structs.rs:289-388``): symmetric random a_k,
     random phi_k, and b_k derived so the relation holds."""
     p = params
-    plan = ntt_ops.plan_for(p)
     ka, kphi = jax.random.split(key)
 
     # symmetric a: sample full, take value from the first-visited (i<=j) slot
@@ -80,30 +117,7 @@ def generate_state(key: jax.Array, witness: jax.Array,
     a_k = a_full[:, iu, ju, :]
 
     phi_k = sampling.uniform_zq(kphi, (p.k_count, p.r, p.n, p.d), p.q)
-
-    # b_k = sum_ij a_ij <s_i, s_j> + sum_i <phi_i, s_i>
-    s_hat = ntt_ops.ntt_fwd(witness, plan)                  # (P, r, n, d)
-    # reduce the Gram matrix mod q before the second multiplication level
-    # (CRT-range invariant: only NTTs of reduced tensors enter products)
-    g = ntt_ops.ntt_inv_modq(_gram_hat(s_hat, plan), plan)
-    g_hat = ntt_ops.ntt_fwd(g, plan)                        # (P, r, r, d)
-    a_hat = ntt_ops.ntt_fwd(a_k, plan)                      # (P, K, r, r, d)
-    phi_hat = ntt_ops.ntt_fwd(phi_k, plan)                  # (P, K, r, n, d)
-
-    outs = []
-    for pi_, pr in enumerate(plan.primes):
-        term_a = ntt_ops._mod_sum(
-            mod_pos(a_hat[pi_] * g_hat[pi_][None], pr).reshape(
-                p.k_count, -1, p.d), pr, axis=1)
-        term_phi = ntt_ops._mod_sum(
-            mod_pos(phi_hat[pi_] * s_hat[pi_][None], pr).reshape(
-                p.k_count, -1, p.d), pr, axis=1)
-        outs.append(mod_pos(term_a + term_phi, pr))
-    b_k = ntt_ops.ntt_inv_modq(jnp.stack(outs), plan)       # (K, d)
-
-    return State(a_k=a_k, phi_k=phi_k, b_k=b_k,
-                 a_prime_k=a_k, phi_prime_k=phi_k,
-                 b_prime_k=b_k[:, 0])
+    return state_from_constraints(a_k, phi_k, witness, p)
 
 
 def _gram_hat(s_hat: jax.Array, plan) -> jax.Array:

@@ -32,3 +32,23 @@ def test_fused_polymul_block_padding():
         got = ntt_pallas.negacyclic_polymul_pallas(a, b, PLAN)
     want = ntt.negacyclic_polymul(a, b, PLAN)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_fused_ajtai_matches_xla():
+    """The fully fused PRG+NTT+matmul+Garner Ajtai kernel must be
+    bit-identical to the streamed XLA path."""
+    import jax
+    from labrador_tpu import sampling, protocol
+    from labrador_tpu.crs import CRS
+    from labrador_tpu.ops.ajtai_pallas import ajtai_commit_pallas
+
+    for kwargs in (dict(n=2, r=2), dict(n=8, r=3, kappa_override=64)):
+        p = LabradorParams(**kwargs)
+        plan = ntt.plan_for(p)
+        w = sampling.generate_witness(jax.random.key(11), p)
+        s_hat = ntt.ntt_fwd(w, plan)
+        crs = CRS.create(p, seed=0xA17A1)
+        want = np.asarray(protocol.ajtai_commit(crs, s_hat, p, plan))
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(ajtai_commit_pallas(crs.key, s_hat, p, plan))
+        np.testing.assert_array_equal(got, want)
