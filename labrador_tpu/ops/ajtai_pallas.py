@@ -167,7 +167,7 @@ def ajtai_commit_pallas(crs_key: jax.Array, s_hat: jax.Array,
     Returns (r, kappa, d) int32 mod q — identical to protocol.ajtai_commit.
     """
     from .ntt_pallas import _plan_consts
-    vhi, vlo, whi, wlo = _plan_consts(plan)
+    vhi, vlo, whi, wlo = (jnp.asarray(x) for x in _plan_consts(plan))
     call, _ = _build_call(params, plan)
     key2 = jnp.asarray(crs_key, jnp.uint32).reshape(1, 2)
     s_in = jnp.swapaxes(s_hat, 1, 2)            # (P, n, r, d)

@@ -37,11 +37,12 @@ def _split_np_i8(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 @lru_cache(maxsize=None)
 def _plan_consts(plan: NttPlan):
-    """Static per-plan constants: int8-limb twiddles + Garner tables."""
+    """Static per-plan constants: int8-limb twiddles (host numpy — NEVER
+    cache jnp arrays here: a first call inside a jit trace would cache
+    tracers and leak them into later traces)."""
     V_hi, V_lo = _split_np_i8(plan.V)
     W_hi, W_lo = _split_np_i8(plan.W)
-    return (jnp.asarray(V_hi), jnp.asarray(V_lo),
-            jnp.asarray(W_hi), jnp.asarray(W_lo))
+    return V_hi, V_lo, W_hi, W_lo
 
 
 def _mm_mod(x_hi, x_lo, m_hi, m_lo, p: int):
@@ -153,7 +154,7 @@ def negacyclic_polymul_pallas(a: jax.Array, b: jax.Array,
     if pad:
         a2 = jnp.concatenate([a2, jnp.zeros((pad, plan.d), jnp.int32)])
         b2 = jnp.concatenate([b2, jnp.zeros((pad, plan.d), jnp.int32)])
-    vhi, vlo, whi, wlo = _plan_consts(plan)
+    vhi, vlo, whi, wlo = (jnp.asarray(x) for x in _plan_consts(plan))
     out = _build_call(plan, a2.shape[0])(a2, b2, vhi, vlo, whi, wlo)
     if pad:
         out = out[:n]

@@ -204,15 +204,20 @@ class LabradorParams:
         b = max(int(b), 2)  # guard: degenerate tiny-std configs
         object.__setattr__(self, "b", int(b))
         # constants.rs:244 — t1 = round(log2 q / log2 b)
-        t_1 = _rust_round(math.log2(float(q)) / math.log2(float(b)))
+        # (clamped >= 1: at large r*n*d the reference's formulas drive the
+        # digit counts to 0 and its own b2 = x^(1/t2) would divide by zero —
+        # a latent reference bug at exactly the witness sizes its bench
+        # sweep advertises)
+        t_1 = max(1, _rust_round(math.log2(float(q)) / math.log2(float(b))))
         object.__setattr__(self, "t_1", int(t_1))
         # constants.rs:245 — b1 = trunc(q^(1/t1))   (truncation, not rounding)
         b_1 = int(float(q) ** (1.0 / float(t_1)))
         object.__setattr__(self, "b_1", b_1)
         # constants.rs:246 — t2 = round(log2(sqrt(24 n d) * std^2) / log2 b)
-        t_2 = _rust_round(
-            math.log2(math.sqrt(24.0 * float(n * d)) * std**2) / math.log2(float(b))
-        )
+        t_2 = max(1, _rust_round(
+            math.log2(math.sqrt(24.0 * float(n * d)) * std**2)
+            / math.log2(float(b))
+        ))
         object.__setattr__(self, "t_2", int(t_2))
         # constants.rs:247 — b2 = round((sqrt(24 n d) * std^2)^(1/t2))
         b_2 = _rust_round(

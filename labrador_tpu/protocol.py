@@ -172,74 +172,105 @@ def _tri_stream(mat_dig: jax.Array, params: LabradorParams) -> jax.Array:
     return jnp.stack(rows)
 
 
+# Per-scan-step coefficient budget for streamed CRS consumers: group as
+# many independent (i,k) pairs per step as fit, so the scan is short
+# (dispatch-bound otherwise) and the matmuls are large (MXU-efficient).
+U1_STEP_COEFFS = 1 << 25
+
+
 def u1_from_digits(crs, t_dig: jax.Array, g_dig: jax.Array,
                    params: LabradorParams, plan) -> jax.Array:
     """u1 = sum_{i,k} B_ik t_i^{(k)} + sum_{i<=j,k} C_ijk g_ij^{(k)}.
 
-    t_dig: (t_1, r, kappa, d) residues mod q; g_dig: (t_2, r, r, d).
-    Both sums run as lax.scan over traced CRS offsets: one compiled body
-    regardless of r/t_1 (compile-time O(1)), and B/C tiles are generated
-    on the fly — the CRS never materializes.  -> (kappa_1, d) coeff domain.
-    (proofgen.rs:100-153 / verification.rs:357-415)
+    The lhs is one virtual matmul  [B_0 | ... | B_{rt1-1}] @ concat(t_dig):
+    a lax.scan streams column groups of G whole B matrices per step
+    (generated on the fly — the CRS never materializes), so the scan is
+    r*t_1/G steps of large MXU work instead of r*t_1 serialized matvecs.
+    -> (kappa_1, d) coeff domain.  (proofgen.rs:100-153 / verification.rs:357-415)
     """
     p = params
     P = len(plan.primes)
-    # lhs: m = i*t_1 + k indexes both the CRS B layout and the t digits
-    t_stream = jnp.swapaxes(t_dig, 0, 1).reshape(p.r * p.t_1, p.kappa, p.d)
-    col_tiled = p.kappa > U1_COL_TILE and p.kappa % U1_COL_TILE == 0
+    m_total = p.r * p.t_1
+    t_stream = jnp.swapaxes(t_dig, 0, 1).reshape(m_total, p.kappa, p.d)
 
-    def body_b(acc, m):
-        t_m = jax.lax.dynamic_index_in_dim(t_stream, m, 0, keepdims=False)
-        if not col_tiled:
-            b_hat = ntt_ops.ntt_fwd(crs.b_mat_dyn(m), plan)    # (P,k1,kap,d)
-            t_hat = ntt_ops.ntt_fwd(t_m[:, None, :], plan)      # (P,kap,1,d)
-            prod = ntt_ops.eval_matmul(b_hat, t_hat, plan)[:, :, 0, :]
-            return _eval_add(acc, prod, plan), None
+    # group size: G whole B matrices per step within the coefficient budget
+    per_pair = p.kappa_1 * p.kappa * p.d
+    G = max(1, min(m_total, U1_STEP_COEFFS // max(per_pair, 1)))
+    while m_total % G:
+        G -= 1
+    n_steps = m_total // G
 
-        # column-tiled: stream B_ik in (kappa_1 x U1_COL_TILE) tiles so the
-        # kappa_1 x kappa matrix never materializes (contraction over kappa
-        # accumulates across tiles)
-        def col_body(acc_c, c):
-            col0 = c * U1_COL_TILE
-            b_blk = crs.b_mat_dyn(m, col0=col0, ncols=U1_COL_TILE)
-            b_hat = ntt_ops.ntt_fwd(b_blk, plan)           # (P,k1,tile,d)
-            t_blk = jax.lax.dynamic_slice_in_dim(t_m, col0, U1_COL_TILE, 0)
-            t_hat = ntt_ops.ntt_fwd(t_blk[:, None, :], plan)
-            prod = ntt_ops.eval_matmul(b_hat, t_hat, plan)[:, :, 0, :]
-            return _eval_add(acc_c, prod, plan), None
-
-        acc, _ = jax.lax.scan(col_body, acc,
-                              jnp.arange(p.kappa // U1_COL_TILE))
-        return acc, None
+    def body_b(acc, step):
+        m0 = step * G
+        # (G, kappa_1, kappa, d) group of B matrices at traced base m0
+        b_grp = crs._expand_dyn(
+            crs._off_b, m0, p.kappa_1 * p.kappa,
+            (G, p.kappa_1, p.kappa, p.d),
+            (p.kappa_1 * p.kappa, p.kappa * p.d, p.d, 1))
+        b_cat = jnp.moveaxis(b_grp, 0, 1).reshape(
+            p.kappa_1, G * p.kappa, p.d)
+        t_grp = jax.lax.dynamic_slice_in_dim(t_stream, m0, G, 0)
+        t_cat = t_grp.reshape(G * p.kappa, p.d)
+        b_hat = ntt_ops.ntt_fwd(b_cat, plan)               # (P,k1,G*kap,d)
+        t_hat = ntt_ops.ntt_fwd(t_cat[:, None, :], plan)   # (P,G*kap,1,d)
+        prod = ntt_ops.eval_matmul(b_hat, t_hat, plan)[:, :, 0, :]
+        return _eval_add(acc, prod, plan), None
 
     acc0 = jnp.zeros((P, p.kappa_1, p.d), jnp.int32)
-    acc, _ = jax.lax.scan(body_b, acc0, jnp.arange(p.r * p.t_1))
+    if n_steps == 1:
+        acc, _ = body_b(acc0, jnp.int32(0))
+    else:
+        acc, _ = jax.lax.scan(body_b, acc0, jnp.arange(n_steps))
     acc = _eval_add(acc, u1_rhs_hat(crs, g_dig, p, plan), plan)
     return ntt_ops.ntt_inv_modq(acc, plan)
 
 
-def u1_rhs_hat(crs, g_dig: jax.Array, params: LabradorParams, plan) -> jax.Array:
-    """Eval-domain sum_{i<=j,k} C_ijk g_ij^{(k)}: triangle stream scanned
-    over the CRS offset index oc = k + t_1 * tri (quirk: the multiplier is
-    t_1 even though k < t_2, structs.rs:106)."""
+def _cd_batched_sum(crs, base: int, dig_stream: jax.Array, n_tri: int,
+                    t_used: int, params: LabradorParams, plan) -> jax.Array:
+    """sum over (tri, k) of  M_{tri,k} * dig[tri,k]  where M vectors live at
+    CRS offset (k + t_1*tri) * kappa_2 * d from `base` (the C/D layout with
+    its t_1-multiplier quirk, structs.rs:106).  All vectors are generated in
+    ONE batched expansion and contracted with a single eval matmul — no
+    per-vector scan (that serialization dominated u1/u2 wall time).
+
+    dig_stream: (n_tri, t_used, d) digit polys.  -> (P, kappa_2, d) eval.
+    """
     p = params
-    P = len(plan.primes)
-    g_stream = _tri_stream(g_dig, p)                            # (tri, t2, d)
-    n_tri = g_stream.shape[0]
-    g_flat = g_stream.reshape(n_tri * p.t_2, p.d)
+    # chunk the triangle axis if a full batch would exceed the step budget
+    per_tri = t_used * p.kappa_2 * p.d
+    tri_chunk = max(1, min(n_tri, U1_STEP_COEFFS // max(per_tri, 1)))
+    while n_tri % tri_chunk:
+        tri_chunk -= 1
 
-    def body_c(acc, mt):
-        tri = mt // p.t_2
-        k = mt % p.t_2
-        oc = k + p.t_1 * tri
-        c_hat = ntt_ops.ntt_fwd(crs.c_vec_dyn(oc), plan)        # (P,k2,d)
-        gd = jax.lax.dynamic_index_in_dim(g_flat, mt, 0, keepdims=False)
-        gd_hat = ntt_ops.ntt_fwd(gd, plan)                      # (P,d)
-        return _eval_add(acc, _eval_scale(c_hat, gd_hat, plan), plan), None
+    def chunk_sum(acc, c):
+        tri0 = c * tri_chunk
+        grp = crs._expand_dyn(
+            base, tri0, p.t_1 * p.kappa_2 * p.d,
+            (tri_chunk, t_used, p.kappa_2, p.d),
+            (p.t_1 * p.kappa_2 * p.d, p.kappa_2 * p.d, p.d, 1))
+        m = tri_chunk * t_used
+        mats = jnp.moveaxis(grp.reshape(m, p.kappa_2, p.d), 0, 1)
+        mats_hat = ntt_ops.ntt_fwd(mats, plan)                 # (P,k2,m,d)
+        digs = jax.lax.dynamic_slice_in_dim(dig_stream, tri0, tri_chunk, 0)
+        dig_hat = ntt_ops.ntt_fwd(digs.reshape(m, p.d)[:, None, :], plan)
+        prod = ntt_ops.eval_matmul(mats_hat, dig_hat, plan)[:, :, 0, :]
+        return _eval_add(acc, prod, plan), None
 
-    acc0 = jnp.zeros((P, p.kappa_2, p.d), jnp.int32)
-    acc, _ = jax.lax.scan(body_c, acc0, jnp.arange(n_tri * p.t_2))
+    acc0 = jnp.zeros((len(plan.primes), p.kappa_2, p.d), jnp.int32)
+    if n_tri == tri_chunk:
+        acc, _ = chunk_sum(acc0, jnp.int32(0))
+    else:
+        acc, _ = jax.lax.scan(chunk_sum, acc0,
+                              jnp.arange(n_tri // tri_chunk))
     return acc
+
+
+def u1_rhs_hat(crs, g_dig: jax.Array, params: LabradorParams, plan) -> jax.Array:
+    """Eval-domain sum_{i<=j,k} C_ijk g_ij^{(k)}."""
+    p = params
+    g_stream = _tri_stream(g_dig, p)                            # (tri, t2, d)
+    return _cd_batched_sum(crs, crs._off_c, g_stream, g_stream.shape[0],
+                           p.t_2, p, plan)
 
 
 def u2_from_digits(crs, h_dig: jax.Array, params: LabradorParams,
@@ -247,22 +278,9 @@ def u2_from_digits(crs, h_dig: jax.Array, params: LabradorParams,
     """u2 = sum_{i<=j, k<t_1} D_ijk h_ij^{(k)}  ->  (kappa_2, d).
     (proofgen.rs:364-378 / verification.rs:421-434)"""
     p = params
-    P = len(plan.primes)
     h_stream = _tri_stream(h_dig, p)                            # (tri, t1, d)
-    n_tri = h_stream.shape[0]
-    h_flat = h_stream.reshape(n_tri * p.t_1, p.d)
-
-    def body_d(acc, mt):
-        tri = mt // p.t_1
-        k = mt % p.t_1
-        oc = k + p.t_1 * tri
-        d_hat = ntt_ops.ntt_fwd(crs.d_vec_dyn(oc), plan)
-        hd = jax.lax.dynamic_index_in_dim(h_flat, mt, 0, keepdims=False)
-        hd_hat = ntt_ops.ntt_fwd(hd, plan)
-        return _eval_add(acc, _eval_scale(d_hat, hd_hat, plan), plan), None
-
-    acc0 = jnp.zeros((P, p.kappa_2, p.d), jnp.int32)
-    acc, _ = jax.lax.scan(body_d, acc0, jnp.arange(n_tri * p.t_1))
+    acc = _cd_batched_sum(crs, crs._off_d, h_stream, h_stream.shape[0],
+                          p.t_1, p, plan)
     return ntt_ops.ntt_inv_modq(acc, plan)
 
 

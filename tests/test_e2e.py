@@ -99,3 +99,26 @@ def test_exact_decomp_mode_e2e():
               "c16_zz_vs_gcc", "c17_phiz_vs_hcc", "c18_agg_relation",
               "c19_u1", "c20_u2", "c21_b_pp_const"):
         assert bool(rep[k]), k
+
+
+def test_verify_f64_reference_norm_mode(setup):
+    """The reference-faithful float-accumulated Check 14 also accepts this
+    (small-q) proof — the mode exists to reproduce the reference's
+    documented precision bug class at large q (README.md:10)."""
+    _, state, crs, proof = setup
+    rep = verifier.verify_report(P, state, proof, crs,
+                                 norm_mode="f64_reference")
+    assert bool(rep["c14_norm_bound"])
+    assert bool(rep["all"])
+
+
+def test_prove_pallas_backend_matches_xla(setup):
+    """kernel_backend='pallas' produces the identical transcript (Ajtai via
+    the fused kernel), interpret mode on CPU."""
+    from jax.experimental.pallas import tpu as pltpu
+    witness, state, crs, proof = setup
+    kv = jax.random.key(1234)  # any key: we compare t, which is CRS-only
+    with pltpu.force_tpu_interpret_mode():
+        proof_p = prover.prove(P, witness, state, crs, kv,
+                               kernel_backend="pallas")
+    np.testing.assert_array_equal(np.asarray(proof_p.t), np.asarray(proof.t))
