@@ -50,6 +50,10 @@ def main(argv=None) -> int:
                          "prove+verify that too")
     ap.add_argument("--kappa", type=int, default=0,
                     help="override the commitment rank (0 = reference n*d)")
+    ap.add_argument("--big-q", action="store_true",
+                    help="2^32-scale modulus (q = 4294967311, the "
+                         "constants.rs:196 configuration the reference "
+                         "cannot run; two-limb exact arithmetic)")
     args = ap.parse_args(argv)
 
     import jax
@@ -60,9 +64,11 @@ def main(argv=None) -> int:
     from . import sampling, structs, prover, verifier
     from .crs import CRS
 
+    q_start = (1 << 32) - 1 if args.big_q else 0
     p = LabradorParams(n=args.n, r=args.r, kappa_override=args.kappa,
-                       exact_digits=args.recursion)
-    decomp_mode = "exact" if args.recursion else "reference"
+                       exact_digits=args.recursion or args.big_q,
+                       **({"q_start": q_start} if q_start else {}))
+    decomp_mode = "exact" if (args.recursion or args.big_q) else "reference"
     if args.verbose:
         print("Welcome to the LaBRADOR Proof System (TPU edition)!")
         print("=====================================\n")

@@ -34,6 +34,7 @@ from flax import struct
 
 from .params import LabradorParams
 from .ops import prg
+from .ops import zq as zq_ops
 
 
 def _np_offsets(start: int, count: int) -> tuple[np.ndarray, np.ndarray]:
@@ -103,13 +104,13 @@ class CRS:
         return self._off_d + off * (p.kappa_2 * p.d)
 
     # -- expansion ---------------------------------------------------------
-    def _expand(self, start: int, shape: tuple[int, ...]) -> jax.Array:
+    def _expand(self, start: int, shape: tuple[int, ...]):
         count = int(np.prod(shape))
         hi, lo = _np_offsets(start, count)
         vals = prg.uniform_mod_q(self.key[0], self.key[1],
                                  jnp.asarray(hi), jnp.asarray(lo),
                                  self.params.q)
-        return vals.reshape(shape)
+        return zq_ops.reshape(vals, shape)
 
     def a_rows(self, row0: int = 0, nrows: int | None = None) -> jax.Array:
         """(nrows, n, d) block of A starting at row0 (``fetch_A_row``,
@@ -165,7 +166,7 @@ class CRS:
                 jnp.asarray((offs & np.uint64(0xFFFFFFFF)).astype(np.uint32)).reshape(bshape)))
         vals = prg.uniform_mod_q(self.key[0], self.key[1], off[0], off[1],
                                  self.params.q)
-        return jnp.broadcast_to(vals, shape)
+        return zq_ops.tmap(lambda v: jnp.broadcast_to(v, shape), vals)
 
     def a_rows_dyn(self, row0, nrows: int) -> jax.Array:
         """(nrows, n, d) block of A at a *traced* row offset — for
@@ -216,24 +217,26 @@ class CRS:
         configs; large runs stream b_rows tiles inside the u1 matmul."""
         p = self.params
         mats = [[self.b_rows(i, k) for k in range(p.t_1)] for i in range(p.r)]
-        return jnp.stack([jnp.stack(row) for row in mats])
+        return zq_ops.stack([zq_ops.stack(row) for row in mats])
 
     def c_all(self) -> jax.Array:
         """(r, r, t_2, kappa_2, d) with only i <= j populated (zeros below)."""
         p = self.params
-        out = jnp.zeros((p.r, p.r, p.t_2, p.kappa_2, p.d), jnp.int32)
+        out = zq_ops.zeros((p.r, p.r, p.t_2, p.kappa_2, p.d), p.q)
         for i in range(p.r):
             for j in range(i, p.r):
                 for k in range(p.t_2):
-                    out = out.at[i, j, k].set(self.c_vec(i, j, k))
+                    out = zq_ops.tmap(lambda o, v: o.at[i, j, k].set(v),
+                                      out, self.c_vec(i, j, k))
         return out
 
     def d_all(self) -> jax.Array:
         """(r, r, t_1, kappa_2, d) with only i <= j populated."""
         p = self.params
-        out = jnp.zeros((p.r, p.r, p.t_1, p.kappa_2, p.d), jnp.int32)
+        out = zq_ops.zeros((p.r, p.r, p.t_1, p.kappa_2, p.d), p.q)
         for i in range(p.r):
             for j in range(i, p.r):
                 for k in range(p.t_1):
-                    out = out.at[i, j, k].set(self.d_vec(i, j, k))
+                    out = zq_ops.tmap(lambda o, v: o.at[i, j, k].set(v),
+                                      out, self.d_vec(i, j, k))
         return out

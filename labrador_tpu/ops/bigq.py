@@ -147,10 +147,15 @@ def _u64_mod_q(v: tuple, q: int) -> tuple:
     tq = (tq[0] + t_lo * qh_w, tq[1])                     # + t*qh*2^32
     r = u64_sub(v, tq)
     hi, lo = r
-    for _ in range(10):  # residual < ~8q after the truncated Barrett
-        geq = u64_geq_u64((hi, lo), qh_w, ql_w)
-        sub = u64_sub((hi, lo), (jnp.full_like(hi, np.int32(np.uint32(qh_w))),
-                                 jnp.full_like(lo, np.int32(np.uint32(ql_w)))))
+    # residual < 8q after the truncated Barrett (3 dropped shift floors +
+    # 1 dropped partial product + Barrett truncation, each contributing
+    # < q) — a binary conditional-subtract ladder (8q < 2^37 fits u64)
+    for mult in (8, 4, 2, 1):
+        c = mult * q
+        ch, cl = (c >> 32) & 0xFFFFFFFF, c & 0xFFFFFFFF
+        geq = u64_geq_u64((hi, lo), ch, cl)
+        sub = u64_sub((hi, lo), (jnp.full_like(hi, np.int32(np.uint32(ch))),
+                                 jnp.full_like(lo, np.int32(np.uint32(cl)))))
         hi = jnp.where(geq, sub[0], hi)
         lo = jnp.where(geq, sub[1], lo)
     return hi, lo

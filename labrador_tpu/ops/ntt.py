@@ -33,6 +33,7 @@ import numpy as np
 
 from ..params import LabradorParams, select_crt_primes
 from .modmath import mod_pos, modmul_mm, modmul_point
+from . import zq as zq_ops
 
 
 def _primitive_root(p: int) -> int:
@@ -71,15 +72,21 @@ class NttPlan:                      # lru_cached singletons; ndarray fields)
     def n_primes(self) -> int:
         return len(self.primes)
 
+    @property
+    def big(self) -> bool:
+        """True when q needs the two-limb (Zq2) coefficient representation."""
+        from .modmath import P_MAX
+        return self.q > P_MAX
+
 
 @lru_cache(maxsize=None)
 def make_plan(q: int, d: int = 64, max_accum: int = 1 << 20) -> NttPlan:
+    """Works for both regimes: q <= P_MAX (single-limb int32 coefficients)
+    and big q up to ~2^33 (two-limb Zq2 coefficients, more CRT primes).
+    The eval domain is identical in both — per-prime int32 lanes."""
     from .modmath import P_MAX
-    if q > P_MAX:
-        raise NotImplementedError(
-            f"q={q} exceeds the int32 single-limb kernel range (q <= {P_MAX});"
-            " the multi-limb big-q path is not implemented yet"
-        )
+    if q > zq_ops.Q_BIG_MAX:
+        raise NotImplementedError(f"q={q} exceeds the two-limb range (2^33)")
     primes = select_crt_primes(q, d, max_accum)
     P = len(primes)
     V = np.zeros((P, d, d), np.int32)
@@ -124,60 +131,39 @@ def plan_for(params: LabradorParams) -> NttPlan:
 # Transforms
 # ---------------------------------------------------------------------------
 
-def ntt_fwd(x: jax.Array, plan: NttPlan) -> jax.Array:
-    """Coefficient domain (..., d) int32 in [0, q)  ->  eval domain (P, ..., d).
+def ntt_fwd(x, plan: NttPlan) -> jax.Array:
+    """Coefficient domain (..., d)  ->  eval domain (P, ..., d).
 
-    One exact modular matmul against the twiddle matrix per prime (MXU).
+    Accepts int32 arrays (canonical residues for small q, OR signed small
+    values at any q — digits, challenges, ternary rows) and two-limb
+    ``zq.Zq2`` tensors (canonical residues at big q).  One exact modular
+    matmul against the twiddle matrix per prime (MXU).
     """
-    outs = []
     shape = x.shape
-    x2 = x.reshape(-1, plan.d)
+    x2 = zq_ops.reshape(x, (-1, plan.d))
+    res = zq_ops.to_res(x2, plan.primes)            # (P, B, d)
+    outs = []
     for pi, p in enumerate(plan.primes):
-        xp = mod_pos(x2, p)
         V = jnp.asarray(plan.V[pi])
-        outs.append(modmul_mm(xp, V, p).reshape(shape))
+        outs.append(modmul_mm(res[pi], V, p).reshape(shape))
     return jnp.stack(outs)
 
 
-def ntt_inv_modq(xhat: jax.Array, plan: NttPlan) -> jax.Array:
-    """Eval domain (P, ..., d) -> coefficient domain (..., d) in [0, q).
+def ntt_inv_modq(xhat: jax.Array, plan: NttPlan):
+    """Eval domain (P, ..., d) -> coefficient domain (..., d) in [0, q):
+    int32 for small q, ``zq.Zq2`` two-limb for big q.
 
     Per-prime inverse transform, then Garner mixed-radix reconstruction of
     the signed integer coefficient, reduced mod q.  Exact for any integer
     |X| < M/2 where M = prod(primes).
     """
-    P = plan.n_primes
     shape = xhat.shape[1:]
     res = []
     for pi, p in enumerate(plan.primes):
         W = jnp.asarray(plan.W[pi])
         r = modmul_mm(xhat[pi].reshape(-1, plan.d), W, p).reshape(shape)
         res.append(r)
-
-    # Garner: mixed-radix digits v_k in [0, p_k)
-    v = [res[0]]
-    for k in range(1, P):
-        p = plan.primes[k]
-        t = mod_pos(res[k] - v[0], p)
-        for j in range(1, k):
-            t = mod_pos(t * int(plan.garner_inv[j - 1, k]), p)
-            t = mod_pos(t - v[j], p)
-        # multiply in the remaining inverse factor for j = k-1
-        t = mod_pos(t * int(plan.garner_inv[k - 1, k]), p)
-        v.append(t)
-
-    # X mod q = sum v_j * prefix_j  (mod q), minus M mod q if X was negative
-    # (i.e. the mixed-radix value exceeds M/2).
-    out = jnp.zeros(shape, jnp.int32)
-    for j in range(P):
-        out = out + mod_pos(v[j] * plan.prefix_mod_q[j], plan.q)
-    # lexicographic compare of digits (most significant last) vs floor(M/2)
-    gt = jnp.zeros(shape, bool)
-    for j in range(P):
-        mj = plan.m_half_digits[j]
-        gt = (v[j] > mj) | ((v[j] == mj) & gt)
-    out = out - jnp.where(gt, plan.m_mod_q, 0)
-    return mod_pos(out, plan.q)
+    return zq_ops.fold_res_modq(jnp.stack(res), plan, signed=True)
 
 
 def ntt_inv_modp(xhat: jax.Array, plan: NttPlan) -> jax.Array:

@@ -65,14 +65,22 @@ def threefry2x32(k0, k1, c0, c1):
     return x0, x1
 
 
-def uniform_mod_q(k0, k1, off_hi, off_lo, q: int) -> jax.Array:
+def uniform_mod_q(k0, k1, off_hi, off_lo, q: int):
     """Uniform-ish draw in [0, q) from a 64-bit counter: reduce the 64-bit
-    Threefry output mod q (bias < q/2^64).  int32 result.
+    Threefry output mod q (bias < q/2^64).
 
-    (x0*2^32 + x1) mod q == ((x0 mod q) * (2^32 mod q) + x1 mod q) mod q,
-    with every intermediate < 2^30 for q < 2^15.
+    Small q (< 2^15): int32 result via 16-bit-half folding.  Big q
+    (2^32 < q < 2^33): two-limb ``zq.Zq2`` result via the emulated-u64
+    Barrett reduction (ops/bigq.py) — same counter layout, so the CRS
+    offset scheme is modulus-independent.
     """
     x0, x1 = threefry2x32(k0, k1, off_hi, off_lo)
+    from .modmath import P_MAX
+    if q > P_MAX:
+        from .bigq import _u64_mod_q
+        from .zq import from_words32
+        rh, rl = _u64_mod_q((x0.astype(jnp.int32), x1.astype(jnp.int32)), q)
+        return from_words32(rh, rl)
     c32 = (1 << 32) % q
     # uint32 -> mod q without int64: split into 16-bit halves
     def u32_mod_q(u):

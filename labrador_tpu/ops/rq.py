@@ -42,18 +42,18 @@ def eval_at_zero(a: jax.Array) -> jax.Array:
     return a[..., 0]
 
 
-def sigma_inv(a: jax.Array, q: int) -> jax.Array:
+def sigma_inv(a: jax.Array, q: int | None) -> jax.Array:
     """Conjugation automorphism sigma^{-1}: X^n -> -X^{d-n} (constant term
     fixed).  Reference ``util.rs:118-137``.
 
     Implemented as reverse + roll + negate: for n >= 1 the coefficient at
-    degree n moves (negated) to degree d-n.
-    """
+    degree n moves (negated) to degree d-n.  q=None keeps values signed
+    (the big-q convention for small-valued tensors)."""
     d = a.shape[-1]
     rev = jnp.flip(a, axis=-1)            # rev[j] = a[d-1-j]
     rolled = jnp.roll(rev, 1, axis=-1)    # rolled[j] = a[d-j]  (j>=1), rolled[0]=a[d-1-... ]
     # rolled[0] = rev[d-1] = a[0]: constant term lands correctly.
-    negated = mod_pos(-rolled, q)
+    negated = -rolled if q is None else mod_pos(-rolled, q)
     # constant coefficient keeps its sign:
     return negated.at[..., 0].set(a[..., 0])
 

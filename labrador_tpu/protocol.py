@@ -14,6 +14,7 @@ import jax.numpy as jnp
 from .params import LabradorParams
 from .ops import ntt as ntt_ops
 from .ops import rq as rq_ops
+from .ops import zq as zq_ops
 from .ops.modmath import mod_pos, modmul_mm
 from .ops.decompose import decompose
 
@@ -33,15 +34,27 @@ def gram_hat(s_hat: jax.Array, plan) -> jax.Array:
 # First aggregation (proofgen.rs:189-289 / verification.rs:38-89)
 # ---------------------------------------------------------------------------
 
-def aggregate_a_pp(a_prime: jax.Array, psi: jax.Array, q: int) -> jax.Array:
+def aggregate_a_pp(a_prime, psi, q: int, plan=None) -> jax.Array:
     """a''_k,ij = sum_l psi_k[l] * a'_l,ij  (Zq scalar scaling, no ring mult).
 
     a_prime: (L, r, r, d); psi: (ub, L)  ->  (ub, r, r, d).
     Verifier line 3 (verification.rs:38-53); the prover side
     (proofgen.rs:223-231) agrees for L = 1 (the only L the reference runs).
+
+    Big q: per-prime residue arithmetic + one Garner fold (the exact
+    integer sum_l psi*a' is < L*q^2 << M, so the fold is exact) — no
+    66-bit scalar mulmod ever materializes.
     """
-    terms = mod_pos(psi[:, :, None, None, None] * a_prime[None], q)
-    return mod_pos(jnp.sum(terms, axis=1), q)
+    if not zq_ops.is_big(q):
+        terms = mod_pos(psi[:, :, None, None, None] * a_prime[None], q)
+        return mod_pos(jnp.sum(terms, axis=1), q)
+    psi_res = zq_ops.to_res(psi, plan.primes)            # (P, ub, L)
+    a_res = zq_ops.to_res(a_prime, plan.primes)          # (P, L, r, r, d)
+    outs = []
+    for pi_, p in enumerate(plan.primes):
+        t = mod_pos(psi_res[pi_][:, :, None, None, None] * a_res[pi_][None], p)
+        outs.append(ntt_ops._mod_sum(t, p, axis=1))
+    return zq_ops.fold_res_modq(jnp.stack(outs), plan, signed=False)
 
 
 def sigma_inv_pi(pi: jax.Array, params: LabradorParams) -> jax.Array:
@@ -52,32 +65,57 @@ def sigma_inv_pi(pi: jax.Array, params: LabradorParams) -> jax.Array:
     (proofgen.rs:244-253, verification.rs:79-85).
     """
     p = params
-    lifted = mod_pos(pi.astype(jnp.int32), p.q)
-    polys = lifted.reshape(p.r, 256, p.n, p.d)
-    conj = rq_ops.sigma_inv(polys, p.q)
+    if zq_ops.is_big(p.q):
+        polys = pi.astype(jnp.int32).reshape(p.r, 256, p.n, p.d)
+        conj = rq_ops.sigma_inv(polys, None)     # stays signed ternary
+    else:
+        lifted = mod_pos(pi.astype(jnp.int32), p.q)
+        polys = lifted.reshape(p.r, 256, p.n, p.d)
+        conj = rq_ops.sigma_inv(polys, p.q)
     return conj.reshape(p.r, 256, p.n * p.d)
 
 
-def aggregate_phi_pp(phi_prime: jax.Array, psi: jax.Array, omega: jax.Array,
-                     pi_sigma: jax.Array, params: LabradorParams) -> jax.Array:
+def aggregate_phi_pp(phi_prime, psi, omega, pi_sigma: jax.Array,
+                     params: LabradorParams, plan=None):
     """phi''_k,i = sum_l psi_k[l] phi'_l,i + sum_{j<256} omega_k[j]
     sigma^{-1}(pi_i^{(j)}).
 
     phi_prime: (L, r, n, d); psi: (ub, L); omega: (ub, 256);
     pi_sigma: (r, 256, n*d) from sigma_inv_pi  ->  (ub, r, n, d).
     (proofgen.rs:233-256 / verification.rs:60-89)
+
+    Big q: both terms accumulate per-prime and fold once; the exact integer
+    (L*q^2 + 256*q in magnitude, signed via the ternary pi) is << M.
     """
     p = params
-    lhs = mod_pos(
-        jnp.sum(mod_pos(psi[:, :, None, None, None] * phi_prime[None], p.q),
-                axis=1), p.q)                       # (ub, r, n, d)
-    # rhs: contraction over the 256 projection rows — plain Zq matmul
-    # omega (ub, 256) @ pi_sigma_i (256, n*d), batched over i
-    rhs = modmul_mm(
-        jnp.broadcast_to(omega[None], (p.r,) + omega.shape),   # (r, ub, 256)
-        pi_sigma, p.q, batch_dims=1)                            # (r, ub, n*d)
-    rhs = jnp.moveaxis(rhs, 0, 1).reshape(omega.shape[0], p.r, p.n, p.d)
-    return mod_pos(lhs + rhs, p.q)
+    ub = psi.shape[0] if not isinstance(psi, zq_ops.Zq2) else psi.hi.shape[0]
+    if not zq_ops.is_big(p.q):
+        lhs = mod_pos(
+            jnp.sum(mod_pos(psi[:, :, None, None, None] * phi_prime[None], p.q),
+                    axis=1), p.q)                       # (ub, r, n, d)
+        # rhs: contraction over the 256 projection rows — plain Zq matmul
+        # omega (ub, 256) @ pi_sigma_i (256, n*d), batched over i
+        rhs = modmul_mm(
+            jnp.broadcast_to(omega[None], (p.r,) + omega.shape),   # (r, ub, 256)
+            pi_sigma, p.q, batch_dims=1)                            # (r, ub, n*d)
+        rhs = jnp.moveaxis(rhs, 0, 1).reshape(omega.shape[0], p.r, p.n, p.d)
+        return mod_pos(lhs + rhs, p.q)
+
+    psi_res = zq_ops.to_res(psi, plan.primes)            # (P, ub, L)
+    phi_res = zq_ops.to_res(phi_prime, plan.primes)      # (P, L, r, n, d)
+    om_res = zq_ops.to_res(omega, plan.primes)           # (P, ub, 256)
+    outs = []
+    for pi_, pr in enumerate(plan.primes):
+        lhs = ntt_ops._mod_sum(
+            mod_pos(psi_res[pi_][:, :, None, None, None] * phi_res[pi_][None],
+                    pr), pr, axis=1)                     # (ub, r, n, d)
+        rhs = modmul_mm(
+            jnp.broadcast_to(om_res[pi_][None], (p.r, ub, 256)),
+            mod_pos(pi_sigma, pr), pr, batch_dims=1)     # (r, ub, n*d)
+        rhs = jnp.moveaxis(rhs, 0, 1).reshape(ub, p.r, p.n, p.d)
+        outs.append(mod_pos(lhs + rhs, pr))
+    # signed=True: the ternary-pi contraction term can be negative
+    return zq_ops.fold_res_modq(jnp.stack(outs), plan, signed=True)
 
 
 def b_pp_from_witness(a_pp_hat: jax.Array, phi_pp_hat: jax.Array,
@@ -101,15 +139,30 @@ def b_pp_from_witness(a_pp_hat: jax.Array, phi_pp_hat: jax.Array,
     return ntt_ops.ntt_inv_modq(jnp.stack(outs), plan)
 
 
-def b_pp_expected_const(omega_k: jax.Array, psi_k: jax.Array,
-                        projection: jax.Array, b_prime: jax.Array,
-                        q: int) -> jax.Array:
+def b_pp_expected_const(omega_k, psi_k, projection, b_prime, q: int,
+                        plan=None):
+    # (plan only required for big q)
     """<omega_k, p> + sum_l psi_k[l] b'_l  (the b'' constant-term check,
     verification.rs:515-551).  omega_k: (ub, 256); psi_k: (ub, L);
-    projection: (256,) mod q; b_prime: (L,).  -> (ub,)."""
-    prod = mod_pos(jnp.sum(mod_pos(omega_k * projection[None], q), axis=1), q)
-    s = mod_pos(jnp.sum(mod_pos(psi_k * b_prime[None], q), axis=1), q)
-    return mod_pos(prod + s, q)
+    projection: (256,) mod q; b_prime: (L,).  -> (ub,).
+
+    Big q: exact integer < 257*q^2 << M — one per-prime contract + fold."""
+    if not zq_ops.is_big(q):
+        prod = mod_pos(jnp.sum(mod_pos(omega_k * projection[None], q), axis=1), q)
+        s = mod_pos(jnp.sum(mod_pos(psi_k * b_prime[None], q), axis=1), q)
+        return mod_pos(prod + s, q)
+    om_res = zq_ops.to_res(omega_k, plan.primes)         # (P, ub, 256)
+    pj_res = zq_ops.to_res(projection, plan.primes)      # (P, 256)
+    psi_res = zq_ops.to_res(psi_k, plan.primes)          # (P, ub, L)
+    bp_res = zq_ops.to_res(b_prime, plan.primes)         # (P, L)
+    outs = []
+    for pi_, p in enumerate(plan.primes):
+        prod = ntt_ops._mod_sum(
+            mod_pos(om_res[pi_] * pj_res[pi_][None], p), p, axis=1)
+        s = ntt_ops._mod_sum(
+            mod_pos(psi_res[pi_] * bp_res[pi_][None], p), p, axis=1)
+        outs.append(mod_pos(prod + s, p))
+    return zq_ops.fold_res_modq(jnp.stack(outs), plan, signed=False)
 
 
 # ---------------------------------------------------------------------------
@@ -207,8 +260,8 @@ def u1_from_digits(crs, t_dig: jax.Array, g_dig: jax.Array,
             crs._off_b, m0, p.kappa_1 * p.kappa,
             (G, p.kappa_1, p.kappa, p.d),
             (p.kappa_1 * p.kappa, p.kappa * p.d, p.d, 1))
-        b_cat = jnp.moveaxis(b_grp, 0, 1).reshape(
-            p.kappa_1, G * p.kappa, p.d)
+        b_cat = zq_ops.reshape(zq_ops.moveaxis(b_grp, 0, 1),
+                               (p.kappa_1, G * p.kappa, p.d))
         t_grp = jax.lax.dynamic_slice_in_dim(t_stream, m0, G, 0)
         t_cat = t_grp.reshape(G * p.kappa, p.d)
         b_hat = ntt_ops.ntt_fwd(b_cat, plan)               # (P,k1,G*kap,d)
@@ -249,7 +302,7 @@ def _cd_batched_sum(crs, base: int, dig_stream: jax.Array, n_tri: int,
             (tri_chunk, t_used, p.kappa_2, p.d),
             (p.t_1 * p.kappa_2 * p.d, p.kappa_2 * p.d, p.d, 1))
         m = tri_chunk * t_used
-        mats = jnp.moveaxis(grp.reshape(m, p.kappa_2, p.d), 0, 1)
+        mats = zq_ops.moveaxis(zq_ops.reshape(grp, (m, p.kappa_2, p.d)), 0, 1)
         mats_hat = ntt_ops.ntt_fwd(mats, plan)                 # (P,k2,m,d)
         digs = jax.lax.dynamic_slice_in_dim(dig_stream, tri0, tri_chunk, 0)
         dig_hat = ntt_ops.ntt_fwd(digs.reshape(m, p.d)[:, None, :], plan)
@@ -326,7 +379,7 @@ def ajtai_commit(crs, s_hat: jax.Array, params: LabradorParams,
         a_hat = ntt_ops.ntt_fwd(crs.a_rows(), plan)        # (P, kappa, n, d)
         t_hat = ntt_ops.eval_matmul(a_hat, st, plan)       # (P, kappa, r, d)
         t = ntt_ops.ntt_inv_modq(t_hat, plan)
-        return jnp.swapaxes(t, 0, 1)
+        return zq_ops.swapaxes(t, 0, 1)
 
     n_tiles = p.kappa // AJTAI_ROW_TILE
 
@@ -337,19 +390,27 @@ def ajtai_commit(crs, s_hat: jax.Array, params: LabradorParams,
         return None, ntt_ops.ntt_inv_modq(t_hat, plan)     # (tile, r, d)
 
     _, tiles = jax.lax.scan(body, None, jnp.arange(n_tiles))
-    t = tiles.reshape(p.kappa, p.r, p.d)
-    return jnp.swapaxes(t, 0, 1)
+    t = zq_ops.reshape(tiles, (p.kappa, p.r, p.d))
+    return zq_ops.swapaxes(t, 0, 1)
 
 
-def _decompose_protocol(x: jax.Array, base: int, ndig: int, q: int,
+def _decompose_protocol(x, base: int, ndig: int, q: int,
                         mode: str) -> jax.Array:
-    """Protocol-level decomposition -> digit residues mod q.
+    """Protocol-level decomposition -> digits.
 
     mode='reference': digits of the raw residue with the quirky centered_rep
-    rule (bit-compatible with the reference).  mode='exact': balanced digits
-    of the *centered* representative — exact reconstruction mod q, small
-    digit norms, and recomposable by the recursion layer (recursion.py
-    re-derives exactly these digits from the transcript)."""
+    rule (bit-compatible with the reference), stored as residues mod q.
+    mode='exact': balanced digits of the *centered* representative — exact
+    reconstruction mod q, small digit norms, and recomposable by the
+    recursion layer (recursion.py re-derives exactly these digits from the
+    transcript).
+
+    Big q (two-limb input): always balanced/exact digits, returned *signed*
+    int32 (the big-q convention for small-valued tensors); the reference
+    mode has nothing to be bit-compatible with there — the reference cannot
+    run a 2^32-scale modulus correctly (``algebraic.rs:417-419``)."""
+    if zq_ops.is_big(q):
+        return zq_ops.decompose_balanced_big(x, base, ndig, q)
     if mode == "exact":
         x = jnp.where(x > q // 2, x - q, x)
     digs = decompose(x, base, ndig, mode)

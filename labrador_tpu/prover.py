@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from .params import LabradorParams
 from .ops import ntt as ntt_ops
+from .ops import zq as zq_ops
 from .ops.modmath import mod_pos, sum_sq_u64, u64_leq_const
 from . import protocol, sampling
 from .oracle import (InteractiveOracle, FiatShamirOracle,
@@ -57,25 +58,38 @@ def jl_project(key: jax.Array, witness_flat: jax.Array,
     # *centered* representatives.  For reference-style witnesses (small
     # nonneg coefficients, proofgen.rs:460-518) centering is the identity,
     # so this matches ``Zq::lift_inv`` raw-residue behavior there; for
-    # recursion witnesses (centered digits stored mod q) it recovers the
-    # true small integers.  Two-limb int8 split keeps this on the int8 MXU.
-    from .ops.modmath import split_i8
-    w_centered = jnp.where(witness_flat > p.q // 2,
-                           witness_flat - p.q, witness_flat)
-    w_hi, w_lo = split_i8(w_centered)                # x = hi*256 + lo
+    # recursion witnesses (centered digits) it recovers the true small
+    # integers.  Four signed-int8 limbs keep this on the int8 MXU and make
+    # it exact for any int32-centered witness (big-q witnesses exceed the
+    # 2-limb range).
+    if zq_ops.is_big(p.q):
+        w_centered = witness_flat        # big-q convention: already signed
+    else:
+        w_centered = jnp.where(witness_flat > p.q // 2,
+                               witness_flat - p.q, witness_flat)
     pi_flat = jnp.moveaxis(pi, 1, 0).reshape(256, -1)  # (256, r*nd)
-    wf_hi = w_hi.reshape(-1)
-    wf_lo = w_lo.reshape(-1)
     dn = (((1,), (0,)), ((), ()))
-    p_hi = jax.lax.dot_general(pi_flat, wf_hi[:, None], dn,
-                               preferred_element_type=jnp.int32)[:, 0]
-    p_lo = jax.lax.dot_general(pi_flat, wf_lo[:, None], dn,
-                               preferred_element_type=jnp.int32)[:, 0]
-    proj = p_hi * 256 + p_lo
-
+    v = w_centered.reshape(-1)
+    dots = []
+    for _ in range(4):
+        limb = ((v + 128) & 255) - 128               # signed int8 range
+        dots.append(jax.lax.dot_general(
+            pi_flat, limb.astype(jnp.int8)[:, None], dn,
+            preferred_element_type=jnp.int32)[:, 0])
+        v = (v - limb) >> 8
+    # exact p = ((d3*256 + d2)*256 + d1)*256 + d0, recombined in emulated
+    # signed-64 (partial recombinations can exceed int32 for rejected draws)
+    acc = zq_ops.i64_from_i32(dots[3])
+    for k in (2, 1, 0):
+        acc = zq_ops.i64_add(zq_ops.i64_shl(acc, 8),
+                             zq_ops.i64_from_i32(dots[k]))
+    # fits-int32 guard: hi word must be the sign extension of the low word
+    fits = jnp.all(acc[0] == (acc[1] >> 31))
+    proj = acc[1]
     norm_sq = sum_sq_u64(proj)
     bound = 128 * p.beta_bound * p.beta_bound
-    ok = u64_leq_const(norm_sq, bound)
+    # any non-fitting entry has square > 2^60 >= any protocol bound here
+    ok = fits & u64_leq_const(norm_sq, bound)
     return pi, proj, ok
 
 
@@ -132,27 +146,28 @@ def prove_impl(params: LabradorParams, witness: jax.Array, state: State,
     u_1 = protocol.u1_from_digits(crs, t_dig, g_dig, p, plan)
 
     # -- step 4: JL projection with retries (proofgen.rs:161-186)
-    ost = oracle.absorb(ost, DOM_U1, [u_1])
+    ost = oracle.absorb(ost, DOM_U1, jax.tree.leaves(u_1))
     witness_flat = witness.reshape(p.r, p.n * p.d)
     pi, proj_int, jl_ok = _jl_with_retries(
         oracle.challenge_key(ost, TAG_JL), witness_flat, p)
-    projection = mod_pos(proj_int, p.q)                   # lift (proofgen.rs:186)
-    ost = oracle.absorb(ost, DOM_JL, [pi, projection])
+    projection = zq_ops.from_signed(proj_int, p.q)        # lift (proofgen.rs:186)
+    ost = oracle.absorb(ost, DOM_JL, jax.tree.leaves([pi, projection]))
 
     # -- step 5: first aggregation (proofgen.rs:189-289)
     ub = p.upper_bound
     # small static counts: unrolled loops trace leaner programs than vmap
     # over (hash -> key -> sampler-with-while-loop) chains
-    psi = jnp.stack([sampling.sample_psi(
+    psi = zq_ops.stack([sampling.sample_psi(
         oracle.challenge_key(ost, TAG_PSI, i), p) for i in range(ub)])
-    omega = jnp.stack([sampling.sample_omega(
+    omega = zq_ops.stack([sampling.sample_omega(
         oracle.challenge_key(ost, TAG_OMEGA, i), p) for i in range(ub)])
 
-    a_prime = state.a_prime_k[: p.l_count]
-    phi_prime = state.phi_prime_k[: p.l_count]
-    a_pp = protocol.aggregate_a_pp(a_prime, psi, p.q)             # (ub,r,r,d)
+    a_prime = zq_ops.index(state.a_prime_k, slice(None, p.l_count))
+    phi_prime = zq_ops.index(state.phi_prime_k, slice(None, p.l_count))
+    a_pp = protocol.aggregate_a_pp(a_prime, psi, p.q, plan)       # (ub,r,r,d)
     pi_sigma = protocol.sigma_inv_pi(pi, p)
-    phi_pp = protocol.aggregate_phi_pp(phi_prime, psi, omega, pi_sigma, p)
+    phi_pp = protocol.aggregate_phi_pp(phi_prime, psi, omega, pi_sigma, p,
+                                       plan)
 
     a_pp_hat = ntt_ops.ntt_fwd(a_pp, plan)
     phi_pp_hat = ntt_ops.ntt_fwd(phi_pp, plan)
@@ -164,11 +179,12 @@ def prove_impl(params: LabradorParams, witness: jax.Array, state: State,
 
     # in-protocol self-check (proofgen.rs:280 -> verification.rs:532-551)
     expected = protocol.b_pp_expected_const(
-        omega, psi, projection, state.b_prime_k[: p.l_count], p.q)
-    b_pp_ok = jnp.all(b_pp[:, 0] == expected)
+        omega, psi, projection,
+        zq_ops.index(state.b_prime_k, slice(None, p.l_count)), p.q, plan)
+    b_pp_ok = zq_ops.all_eq(zq_ops.index(b_pp, (slice(None), 0)), expected)
 
     # -- step 6: second aggregation challenges (proofgen.rs:295-314)
-    ost = oracle.absorb(ost, DOM_BPP, [b_pp])
+    ost = oracle.absorb(ost, DOM_BPP, jax.tree.leaves(b_pp))
     alpha = sampling.sample_alpha(oracle.challenge_key(ost, TAG_ALPHA), p)
     beta = sampling.sample_beta(oracle.challenge_key(ost, TAG_BETA), p)
     alpha_hat = ntt_ops.ntt_fwd(alpha, plan)
@@ -185,14 +201,23 @@ def prove_impl(params: LabradorParams, witness: jax.Array, state: State,
     st = jnp.swapaxes(s_hat, -3, -2)                              # (P,n,r,d)
     m_hat = ntt_ops.eval_matmul(phi_fin_hat_red, st, plan)        # (P,r,r,d)
     m = ntt_ops.ntt_inv_modq(m_hat, plan)
-    h = mod_pos(mod_pos(m + jnp.swapaxes(m, 0, 1), p.q) * p.inv2, p.q)
+    if zq_ops.is_big(p.q):
+        # per-prime: residues of the exact integer (m + m^T) * inv2 < q^2
+        # << M, then one Garner fold mod q — no 66-bit mulmod.
+        m_res = zq_ops.to_res(m, plan.primes)                     # (P,r,r,d)
+        hs = [mod_pos(mod_pos(m_res[pi_] + jnp.swapaxes(m_res[pi_], 0, 1),
+                              pr) * (p.inv2 % pr), pr)
+              for pi_, pr in enumerate(plan.primes)]
+        h = zq_ops.fold_res_modq(jnp.stack(hs), plan, signed=False)
+    else:
+        h = mod_pos(mod_pos(m + jnp.swapaxes(m, 0, 1), p.q) * p.inv2, p.q)
 
     # -- step 8: outer commitment u2 (proofgen.rs:364-378)
     h_dig = protocol.decompose_h(h, p, decomp_mode)
     u_2 = protocol.u2_from_digits(crs, h_dig, p, plan)
 
     # -- step 9: amortized opening (proofgen.rs:380-399)
-    ost = oracle.absorb(ost, DOM_U2, [u_2])
+    ost = oracle.absorb(ost, DOM_U2, jax.tree.leaves(u_2))
     c = jnp.stack([sampling.sample_challenge(
         oracle.challenge_key(ost, TAG_CHALLENGE, i), p) for i in range(p.r)])
     c_hat = ntt_ops.ntt_fwd(c, plan)                              # (P, r, d)

@@ -43,12 +43,17 @@ import numpy as np
 
 from .params import LabradorParams, _ceil_log
 from .ops import ntt as ntt_ops
+from .ops import zq as zq_ops
 from .ops.modmath import mod_pos
 from . import protocol
 from .structs import State, Transcript
 
 
 def _centered(x, q):
+    if isinstance(x, zq_ops.Zq2):
+        return zq_ops.to_signed_small(x, q)
+    if zq_ops.is_big(q):
+        return x            # big-q small-tensor convention: already signed
     return jnp.where(x > q // 2, x - q, x)
 
 
@@ -166,12 +171,12 @@ def _canonical_aggregates(params: LabradorParams, state: State,
     (all reduced mod q) — shared with verifier.verify_report."""
     p = params
     plan = ntt_ops.plan_for(p)
-    a_prime = state.a_prime_k[: p.l_count]
-    phi_prime = state.phi_prime_k[: p.l_count]
-    a_pp = protocol.aggregate_a_pp(a_prime, proof.psi, p.q)
+    a_prime = zq_ops.index(state.a_prime_k, slice(None, p.l_count))
+    phi_prime = zq_ops.index(state.phi_prime_k, slice(None, p.l_count))
+    a_pp = protocol.aggregate_a_pp(a_prime, proof.psi, p.q, plan)
     pi_sigma = protocol.sigma_inv_pi(proof.pi, p)
     phi_pp = protocol.aggregate_phi_pp(phi_prime, proof.psi, proof.omega,
-                                       pi_sigma, p)
+                                       pi_sigma, p, plan)
     alpha_hat = ntt_ops.ntt_fwd(proof.alpha, plan)
     beta_hat = ntt_ops.ntt_fwd(proof.beta, plan)
     a_fin = ntt_ops.ntt_inv_modq(protocol.a_final_hat(
@@ -191,7 +196,7 @@ def _ring_mul(a, b, plan):
 
 
 def build_relation(layout: RecursionLayout, state: State, proof: Transcript,
-                   crs) -> tuple[jax.Array, jax.Array, jax.Array]:
+                   crs):
     """Constraint families (a_new, phi_new, b_new) over the new witness.
 
     a_new:   (k', r_new, r_new, d)  — only the <z,z> family is nonzero.
@@ -200,16 +205,23 @@ def build_relation(layout: RecursionLayout, state: State, proof: Transcript,
 
     Everything here is derivable from public data (state, transcript, CRS),
     so the recursive verifier can rebuild the same relation.
+
+    The tensors are assembled in per-prime CRT residue form and folded to
+    canonical residues once at the end — this makes every scalar scaling a
+    cheap int32 lane op and works identically at small and 2^32-scale q
+    (where entries like ``a_fin * b2^k mod q`` would need 66-bit products).
     """
     p = layout.params
     q, d = p.q, p.d
     plan = ntt_ops.plan_for(p)
+    primes = plan.primes
+    P = len(primes)
     kp = layout.k_new
     M = layout.m_total
 
-    phi = jnp.zeros((kp, M, d), jnp.int32)
-    b_new = jnp.zeros((kp, d), jnp.int32)
-    a_new = jnp.zeros((kp, layout.r_new, layout.r_new, d), jnp.int32)
+    phi = jnp.zeros((P, kp, M, d), jnp.int32)
+    b_new = jnp.zeros((P, kp, d), jnp.int32)
+    a_new = jnp.zeros((P, kp, layout.r_new, layout.r_new, d), jnp.int32)
 
     a_fin, phi_fin, b_fin = _canonical_aggregates(p, state, proof)
     c = proof.c                                       # (r, d)
@@ -220,108 +232,139 @@ def build_relation(layout: RecursionLayout, state: State, proof: Transcript,
     b1pow = [pow(p.b_1, k, q) for k in range(p.t_1)]
     b2pow = [pow(p.b_2, k, q) for k in range(p.t_2)]
 
+    def res_of(x):
+        """Canonical ZqT / signed small -> (P, ...) residues."""
+        return zq_ops.to_res(x, primes)
+
+    def const_res(v: int):
+        return [v % pr for pr in primes]
+
     # ---- group 1: kappa rows of  A z - sum_i c_i t_i = 0 -----------------
-    a_mat = crs.a_rows()                              # (kappa, n, d)
+    a_res = res_of(crs.a_rows())                      # (P, kappa, n, d)
     row0 = 0
     for k in range(layout.nz):
         # phi on z_k[l] = b^k * A[rho, l]
-        blk = mod_pos(a_mat * bpow[k], q)             # (kappa, n, d)
-        phi = phi.at[row0:row0 + p.kappa,
+        ck = const_res(bpow[k])
+        blk = jnp.stack([mod_pos(a_res[pi_] * ck[pi_], pr)
+                         for pi_, pr in enumerate(primes)])
+        phi = phi.at[:, row0:row0 + p.kappa,
                      layout.z_pos(k, 0):layout.z_pos(k, 0) + p.n, :].set(blk)
     # phi on t_dig(i, k2, row=rho) = -c_i * b1^k2   (only its own row rho)
-    neg_c = mod_pos(-c, q)                            # (r, d)
+    c_res = res_of(c)                                 # (P, r, d)
     for i in range(p.r):
         for k2 in range(p.t_1):
-            coeff = mod_pos(neg_c[i] * b1pow[k2], q)  # (d,) scalar-scaled c
+            ck = const_res(b1pow[k2])
+            coeff = jnp.stack([mod_pos(-c_res[pi_, i] * ck[pi_], pr)
+                               for pi_, pr in enumerate(primes)])  # (P, d)
             pos0 = layout.t_pos(i, k2, 0)
             rows = jnp.arange(p.kappa)
-            phi = phi.at[row0 + rows, pos0 + rows, :].set(
-                jnp.broadcast_to(coeff, (p.kappa, d)))
+            phi = phi.at[:, row0 + rows, pos0 + rows, :].set(
+                jnp.broadcast_to(coeff[:, None, :], (P, p.kappa, d)))
     # b = 0 for these rows
 
     # ---- group 2: kappa_1 rows of  u1 = sum B t + sum C g ----------------
     row1 = p.kappa
     for i in range(p.r):
         for k in range(p.t_1):
-            b_ik = crs.b_rows(i, k)                   # (kappa_1, kappa, d)
+            b_ik = res_of(crs.b_rows(i, k))           # (P, kappa_1, kappa, d)
             pos0 = layout.t_pos(i, k, 0)
-            phi = phi.at[row1:row1 + p.kappa_1,
+            phi = phi.at[:, row1:row1 + p.kappa_1,
                          pos0:pos0 + p.kappa, :].set(b_ik)
     for i in range(p.r):
         for j in range(i, p.r):
             for k in range(p.t_2):
-                c_ijk = crs.c_vec(i, j, k)            # (kappa_2, d)
+                c_ijk = res_of(crs.c_vec(i, j, k))    # (P, kappa_2, d)
                 pos = layout.g_pos(i, j, k)
-                phi = phi.at[row1:row1 + p.kappa_1, pos, :].set(c_ijk)
-    b_new = b_new.at[row1:row1 + p.kappa_1].set(proof.u_1)
+                phi = phi.at[:, row1:row1 + p.kappa_1, pos, :].set(c_ijk)
+    b_new = b_new.at[:, row1:row1 + p.kappa_1].set(res_of(proof.u_1))
 
     # ---- group 3: kappa_2 rows of  u2 = sum D h --------------------------
     row2 = row1 + p.kappa_1
     for i in range(p.r):
         for j in range(i, p.r):
             for k in range(p.t_1):
-                d_ijk = crs.d_vec(i, j, k)
+                d_ijk = res_of(crs.d_vec(i, j, k))
                 pos = layout.h_pos(i, j, k)
-                phi = phi.at[row2:row2 + p.kappa_2, pos, :].set(d_ijk)
-    b_new = b_new.at[row2:row2 + p.kappa_2].set(proof.u_2)
+                phi = phi.at[:, row2:row2 + p.kappa_2, pos, :].set(d_ijk)
+    b_new = b_new.at[:, row2:row2 + p.kappa_2].set(res_of(proof.u_2))
 
     # ---- family 16: <z,z> - sum_ij g_ij c_i c_j = 0 ----------------------
     f16 = row2 + p.kappa_2
     for k in range(layout.nz):
         for k2 in range(layout.nz):
             val = (bpow[k] * bpow[k2]) % q
-            a_new = a_new.at[f16, k, k2, 0].set(val)
-    cc = {}
+            a_new = a_new.at[:, f16, k, k2, 0].set(
+                jnp.asarray(const_res(val), jnp.int32))
+    cc_res = {}
     for i in range(p.r):
         for j in range(p.r):
             prod = ntt_ops.ntt_inv_modq(
                 ntt_ops.eval_mul(c_hat[:, i:i + 1, :], c_hat[:, j:j + 1, :],
-                                 plan), plan)[0]
-            cc[(i, j)] = prod                         # c_i * c_j  (d,)
+                                 plan), plan)
+            cc_res[(i, j)] = res_of(zq_ops.index(prod, 0))   # (P, d)
     for i in range(p.r):
         for j in range(i, p.r):
             mult = 1 if i == j else 2
             for k in range(p.t_2):
-                coeff = mod_pos(-cc[(i, j)] * ((mult * b2pow[k]) % q), q)
-                phi = phi.at[f16, layout.g_pos(i, j, k), :].set(coeff)
+                ck = const_res(mult * b2pow[k] % q)
+                coeff = jnp.stack([
+                    mod_pos(-cc_res[(i, j)][pi_] * ck[pi_], pr)
+                    for pi_, pr in enumerate(primes)])
+                phi = phi.at[:, f16, layout.g_pos(i, j, k), :].set(coeff)
 
     # ---- family 17: sum_i <phi_i, z> c_i - sum h c c = 0 -----------------
     f17 = f16 + 1
     # sum_i c_i (x) phi_fin_i : (n, d) ring elements
     phi_fin_hat = ntt_ops.ntt_fwd(phi_fin, plan)      # (P, r, n, d)
     terms = []
-    for pi_, pr in enumerate(plan.primes):
+    for pi_, pr in enumerate(primes):
         s = ntt_ops._mod_sum(
             mod_pos(c_hat[pi_][:, None, :] * phi_fin_hat[pi_], pr),
             pr, axis=0)                               # (n, d)
         terms.append(s)
-    cphi = ntt_ops.ntt_inv_modq(jnp.stack(terms), plan)  # (n, d)
+    cphi_res = res_of(ntt_ops.ntt_inv_modq(jnp.stack(terms), plan))  # (P,n,d)
     for k in range(layout.nz):
-        blk = mod_pos(cphi * bpow[k], q)
-        phi = phi.at[f17, layout.z_pos(k, 0):layout.z_pos(k, 0) + p.n, :]\
-            .set(blk)
+        ck = const_res(bpow[k])
+        blk = jnp.stack([mod_pos(cphi_res[pi_] * ck[pi_], pr)
+                         for pi_, pr in enumerate(primes)])
+        phi = phi.at[:, f17,
+                     layout.z_pos(k, 0):layout.z_pos(k, 0) + p.n, :].set(blk)
     for i in range(p.r):
         for j in range(i, p.r):
             mult = 1 if i == j else 2
             for k in range(p.t_1):
-                coeff = mod_pos(-cc[(i, j)] * ((mult * b1pow[k]) % q), q)
-                phi = phi.at[f17, layout.h_pos(i, j, k), :].set(coeff)
+                ck = const_res(mult * b1pow[k] % q)
+                coeff = jnp.stack([
+                    mod_pos(-cc_res[(i, j)][pi_] * ck[pi_], pr)
+                    for pi_, pr in enumerate(primes)])
+                phi = phi.at[:, f17, layout.h_pos(i, j, k), :].set(coeff)
 
     # ---- family 18: sum a_ij g_ij + sum h_ii = b -------------------------
     f18 = f17 + 1
+    a_fin_res = res_of(a_fin)                         # (P, r, r, d)
     for i in range(p.r):
         for j in range(i, p.r):
             mult = 1 if i == j else 2
             for k in range(p.t_2):
-                coeff = mod_pos(a_fin[i, j] * ((mult * b2pow[k]) % q), q)
-                phi = phi.at[f18, layout.g_pos(i, j, k), :].set(coeff)
+                ck = const_res(mult * b2pow[k] % q)
+                coeff = jnp.stack([
+                    mod_pos(a_fin_res[pi_, i, j] * ck[pi_], pr)
+                    for pi_, pr in enumerate(primes)])
+                phi = phi.at[:, f18, layout.g_pos(i, j, k), :].set(coeff)
     for i in range(p.r):
         for k in range(p.t_1):
-            phi = phi.at[f18, layout.h_pos(i, i, k), 0].set(b1pow[k])
-    b_new = b_new.at[f18].set(b_fin)
+            phi = phi.at[:, f18, layout.h_pos(i, i, k), 0].set(
+                jnp.asarray(const_res(b1pow[k]), jnp.int32))
+    b_new = b_new.at[:, f18].set(res_of(b_fin))
 
-    phi = phi.reshape(kp, layout.r_new, layout.n_new, d)
-    return a_new, phi, b_new
+    # fold the residue-form tensors to canonical mod-q form (every entry is
+    # the residue of one integer with |value| < q^2 << M/2: exact.  signed —
+    # the -c_i b1^k / -cc b^k coefficients are negative integers)
+    a_new_q = zq_ops.fold_res_modq(a_new, plan, signed=True)
+    phi_q = zq_ops.fold_res_modq(phi, plan, signed=True)
+    b_q = zq_ops.fold_res_modq(b_new, plan, signed=True)
+    phi_q = zq_ops.reshape(phi_q, (kp, layout.r_new, layout.n_new, d))
+    return a_new_q, phi_q, b_q
 
 
 def relation_residual(a_k: jax.Array, phi_k: jax.Array, b_k: jax.Array,
@@ -347,7 +390,10 @@ def relation_residual(a_k: jax.Array, phi_k: jax.Array, b_k: jax.Array,
             pr, axis=1)
         outs.append(mod_pos(t1 + t2, pr))
     lhs = ntt_ops.ntt_inv_modq(jnp.stack(outs), plan)   # (K, d)
-    return jnp.max(mod_pos(lhs - b_k, q))                # 0 iff equal
+    diff = zq_ops.sub(lhs, b_k, q)                       # 0 iff equal
+    if isinstance(diff, zq_ops.Zq2):
+        return jnp.max(jnp.maximum(jnp.abs(diff.hi), jnp.abs(diff.lo)))
+    return jnp.max(diff)
 
 
 def recursive_step(params: LabradorParams, state: State, proof: Transcript,
@@ -376,5 +422,5 @@ def recursive_step(params: LabradorParams, state: State, proof: Transcript,
     state_new = State(
         a_k=a_new, phi_k=phi_new, b_k=b_new,
         a_prime_k=a_new, phi_prime_k=phi_new,
-        b_prime_k=b_new[:, 0])
+        b_prime_k=zq_ops.index(b_new, (slice(None), 0)))
     return params_new, witness, state_new, layout

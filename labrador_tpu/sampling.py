@@ -14,15 +14,21 @@ import jax.numpy as jnp
 import numpy as np
 
 from .params import LabradorParams, T_OPNORM
-from .ops.modmath import mod_pos, u64_sum, u64_leq_const
+from .ops.modmath import mod_pos, u64_sum, u64_leq_const, sum_sq_u64
 from .ops import ntt as ntt_ops
+from .ops import zq as zq_ops
 
 
-def uniform_zq(key: jax.Array, shape, q: int) -> jax.Array:
-    """Uniform [0, q) int32 via 64-bit reduction (bias < q/2^64).
-    Counterpart of ``generate_polynomial``/``random_sample_zq``
-    (``util.rs:27-35,158-164``)."""
-    bits = jax.random.bits(key, shape + (2,), jnp.uint32)
+def uniform_zq(key: jax.Array, shape, q: int):
+    """Uniform [0, q) via 64-bit reduction (bias < q/2^64): int32 for small
+    q, two-limb ``zq.Zq2`` for big q.  Counterpart of
+    ``generate_polynomial``/``random_sample_zq`` (``util.rs:27-35,158-164``)."""
+    bits = jax.random.bits(key, tuple(shape) + (2,), jnp.uint32)
+    if zq_ops.is_big(q):
+        from .ops.bigq import _u64_mod_q
+        rh, rl = _u64_mod_q((bits[..., 0].astype(jnp.int32),
+                             bits[..., 1].astype(jnp.int32)), q)
+        return zq_ops.from_words32(rh, rl)
     c32 = (1 << 32) % q
 
     def u32_mod_q(u):
@@ -53,10 +59,20 @@ def generate_witness(key: jax.Array, params: LabradorParams) -> jax.Array:
     """
     p = params
     w = uniform_zq(key, (p.r, p.n, p.d), p.q)
+    if zq_ops.is_big(p.q):
+        # pre-shift the two-limb draw into int32 range (beta << 2^30, so
+        # every accepted witness is reachable after this deterministic
+        # halving prefix), then run the same int32 rejection loop.
+        k0 = max(0, p.q.bit_length() - 30)
+        if k0 <= 16:
+            w = (w.hi << (16 - k0)) + (w.lo >> k0)
+        else:
+            w = w.hi >> (k0 - 16)
     bound = p.beta_bound * p.beta_bound
 
     def too_big(w):
-        return ~u64_leq_const(u64_sum(w * w), bound)
+        # sum_sq_u64: exact even while pre-rejection values reach 2^30
+        return ~u64_leq_const(sum_sq_u64(w), bound)
 
     def halve(w):
         return w // 2
@@ -147,6 +163,11 @@ def sample_challenge(key: jax.Array, params: LabradorParams) -> jax.Array:
 
     key0 = jax.random.fold_in(key, 0)
     _, centered = jax.lax.while_loop(cond, body, (key0, draw(key0)))
+    if zq_ops.is_big(p.q):
+        # big-q convention: small-valued tensors stay *signed* int32 (the
+        # canonical lift would force every consumer onto the two-limb path
+        # for values in {-2..2})
+        return centered
     return mod_pos(centered, p.q)
 
 

@@ -16,6 +16,7 @@ from flax import struct
 
 from .params import LabradorParams
 from .ops import ntt as ntt_ops
+from .ops import zq as zq_ops
 from .ops.modmath import mod_pos
 from . import sampling
 
@@ -75,8 +76,8 @@ def state_from_constraints(a_k: jax.Array, phi_k: jax.Array,
     """
     p = params
     plan = ntt_ops.plan_for(p)
-    a_k = mod_pos(jnp.asarray(a_k, jnp.int32), p.q)
-    phi_k = mod_pos(jnp.asarray(phi_k, jnp.int32), p.q)
+    a_k = _canon(a_k, p.q)
+    phi_k = _canon(phi_k, p.q)
     K = a_k.shape[0]
 
     s_hat = ntt_ops.ntt_fwd(witness, plan)
@@ -97,7 +98,18 @@ def state_from_constraints(a_k: jax.Array, phi_k: jax.Array,
 
     return State(a_k=a_k, phi_k=phi_k, b_k=b_k,
                  a_prime_k=a_k, phi_prime_k=phi_k,
-                 b_prime_k=b_k[:, 0])
+                 b_prime_k=zq_ops.index(b_k, (slice(None), 0)))
+
+
+def _canon(x, q: int):
+    """User-supplied constraint tensors -> canonical ZqT: Zq2 passes
+    through; plain arrays are interpreted as signed integers (any sign,
+    |v| < q) and lifted."""
+    if isinstance(x, zq_ops.Zq2):
+        return x
+    if zq_ops.is_big(q):
+        return zq_ops.from_signed(jnp.asarray(x, jnp.int32), q)
+    return mod_pos(jnp.asarray(x, jnp.int32), q)
 
 
 def generate_state(key: jax.Array, witness: jax.Array,
@@ -114,7 +126,7 @@ def generate_state(key: jax.Array, witness: jax.Array,
     jj = jnp.arange(p.r)[None, :]
     iu = jnp.minimum(ii, jj)
     ju = jnp.maximum(ii, jj)
-    a_k = a_full[:, iu, ju, :]
+    a_k = zq_ops.tmap(lambda a: a[:, iu, ju, :], a_full)
 
     phi_k = sampling.uniform_zq(kphi, (p.k_count, p.r, p.n, p.d), p.q)
     return state_from_constraints(a_k, phi_k, witness, p)
@@ -154,15 +166,32 @@ def _bincode_zq_vec(arr: np.ndarray) -> bytes:
 
 def save_transcript(tr: Transcript, path: str) -> None:
     """Persist a transcript (the reference's only persistence is the
-    serde/bincode serialization at structs.rs:212-221; here: npz)."""
-    arrays = {f: np.asarray(getattr(tr, f))
-              for f in tr.__dataclass_fields__}
+    serde/bincode serialization at structs.rs:212-221; here: npz).
+    Two-limb (big-q) fields store their limbs under ``<name>__hi/__lo``."""
+    arrays = {}
+    for f in tr.__dataclass_fields__:
+        v = getattr(tr, f)
+        if isinstance(v, zq_ops.Zq2):
+            arrays[f + "__hi"] = np.asarray(v.hi)
+            arrays[f + "__lo"] = np.asarray(v.lo)
+        else:
+            arrays[f] = np.asarray(v)
     np.savez_compressed(path, **arrays)
 
 
 def load_transcript(path: str) -> Transcript:
     with np.load(path) as z:
-        return Transcript(**{k: jnp.asarray(z[k]) for k in z.files})
+        fields = {}
+        for k in z.files:
+            if k.endswith("__hi"):
+                name = k[:-4]
+                fields[name] = zq_ops.Zq2(jnp.asarray(z[k]),
+                                          jnp.asarray(z[name + "__lo"]))
+            elif k.endswith("__lo"):
+                continue
+            else:
+                fields[k] = jnp.asarray(z[k])
+        return Transcript(**fields)
 
 
 def transcript_size_in_bytes(tr: Transcript, q: int) -> int:
@@ -174,20 +203,20 @@ def transcript_size_in_bytes(tr: Transcript, q: int) -> int:
     Zq before storing, ``proofgen.rs:445-453``)."""
     pi_lifted = np.asarray(tr.pi, np.int64) % q
     parts = [
-        _bincode_poly_vec(tr.u_1),
+        _bincode_poly_vec(zq_ops.to_py(tr.u_1)),
         _bincode_zq_vec(pi_lifted),
-        _bincode_zq_vec(tr.projection),
-        _bincode_zq_vec(tr.psi),
-        _bincode_zq_vec(tr.omega),
-        _bincode_poly_vec(tr.b_prime_prime),
-        _bincode_poly_vec(tr.alpha),
-        _bincode_poly_vec(tr.beta),
-        _bincode_poly_vec(tr.u_2),
-        _bincode_poly_vec(tr.c),
-        _bincode_poly_vec(tr.z),
-        _bincode_poly_vec(tr.t),
-        _bincode_poly_vec(tr.g),
-        _bincode_poly_vec(tr.h),
+        _bincode_zq_vec(zq_ops.to_py(tr.projection)),
+        _bincode_zq_vec(zq_ops.to_py(tr.psi)),
+        _bincode_zq_vec(zq_ops.to_py(tr.omega)),
+        _bincode_poly_vec(zq_ops.to_py(tr.b_prime_prime)),
+        _bincode_poly_vec(zq_ops.to_py(tr.alpha)),
+        _bincode_poly_vec(zq_ops.to_py(tr.beta)),
+        _bincode_poly_vec(zq_ops.to_py(tr.u_2)),
+        _bincode_poly_vec(zq_ops.to_py(tr.c)),
+        _bincode_poly_vec(zq_ops.to_py(tr.z)),
+        _bincode_poly_vec(zq_ops.to_py(tr.t)),
+        _bincode_poly_vec(zq_ops.to_py(tr.g)),
+        _bincode_poly_vec(zq_ops.to_py(tr.h)),
     ]
     blob = b"".join(parts)
     return len(zlib.compress(blob, 9))

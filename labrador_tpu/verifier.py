@@ -19,6 +19,7 @@ import jax.numpy as jnp
 
 from .params import LabradorParams
 from .ops import ntt as ntt_ops
+from .ops import zq as zq_ops
 from .ops.modmath import mod_pos, u64_sum, u64_leq_const
 from . import protocol, sampling
 from .oracle import FiatShamirOracle, DOM_U1, DOM_JL, DOM_BPP, DOM_U2
@@ -37,12 +38,12 @@ def verify_report(params: LabradorParams, state: State, proof: Transcript,
     checks: dict[str, jax.Array] = {}
 
     # ---- lines 3-7: recomputation (verification.rs:38-148)
-    a_prime = state.a_prime_k[: p.l_count]
-    phi_prime = state.phi_prime_k[: p.l_count]
-    a_pp = protocol.aggregate_a_pp(a_prime, proof.psi, p.q)
+    a_prime = zq_ops.index(state.a_prime_k, slice(None, p.l_count))
+    phi_prime = zq_ops.index(state.phi_prime_k, slice(None, p.l_count))
+    a_pp = protocol.aggregate_a_pp(a_prime, proof.psi, p.q, plan)
     pi_sigma = protocol.sigma_inv_pi(proof.pi, p)
     phi_pp = protocol.aggregate_phi_pp(phi_prime, proof.psi, proof.omega,
-                                       pi_sigma, p)
+                                       pi_sigma, p, plan)
 
     alpha_hat = ntt_ops.ntt_fwd(proof.alpha, plan)
     beta_hat = ntt_ops.ntt_fwd(proof.beta, plan)
@@ -66,8 +67,10 @@ def verify_report(params: LabradorParams, state: State, proof: Transcript,
     b = protocol.b_final(alpha_hat, beta_hat, b_hat, b_pp_hat, plan)  # (d,)
 
     # ---- checks 8-9: symmetry (verification.rs:157-178)
-    checks["c08_g_symmetric"] = jnp.all(proof.g == jnp.swapaxes(proof.g, 0, 1))
-    checks["c09_h_symmetric"] = jnp.all(proof.h == jnp.swapaxes(proof.h, 0, 1))
+    checks["c08_g_symmetric"] = zq_ops.all_eq(proof.g,
+                                              zq_ops.swapaxes(proof.g, 0, 1))
+    checks["c09_h_symmetric"] = zq_ops.all_eq(proof.h,
+                                              zq_ops.swapaxes(proof.h, 0, 1))
 
     # ---- lines 10-13: decompositions (verification.rs:185-225)
     z_dig = protocol.decompose_z(proof.z, p, decomp_mode)
@@ -79,7 +82,10 @@ def verify_report(params: LabradorParams, state: State, proof: Transcript,
     # Norms are over the *centered* digit values: identical to the reference
     # for its always-nonneg-small centered_rep digits, and the only sensible
     # semantics for exact-mode balanced digits (negatives stored as q-|v|).
+    # Big-q digits are already signed (the small-tensor convention).
     def _c(digs):
+        if zq_ops.is_big(p.q):
+            return digs
         return jnp.where(digs > p.q // 2, digs - p.q, digs)
 
     if norm_mode == "exact":
@@ -105,7 +111,8 @@ def verify_report(params: LabradorParams, state: State, proof: Transcript,
     # (A re-expanded from the CRS, row-tiled for large kappa — same
     # streaming kernel as the prover's Ajtai commitment)
     z_hat = ntt_ops.ntt_fwd(proof.z, plan)                     # (P, n, d)
-    lhs = protocol.ajtai_commit(crs, z_hat[:, None, :, :], p, plan)[0]
+    lhs = zq_ops.index(
+        protocol.ajtai_commit(crs, z_hat[:, None, :, :], p, plan), 0)
     c_hat = ntt_ops.ntt_fwd(proof.c, plan)                     # (P, r, d)
     t_hat = ntt_ops.ntt_fwd(proof.t, plan)                     # (P,r,kap,d)
     rhs_terms = []
@@ -113,7 +120,7 @@ def verify_report(params: LabradorParams, state: State, proof: Transcript,
         prod = mod_pos(c_hat[pi_][:, None, :] * t_hat[pi_], pr)
         rhs_terms.append(ntt_ops._mod_sum(prod, pr, axis=0))
     rhs = ntt_ops.ntt_inv_modq(jnp.stack(rhs_terms), plan)     # (kappa, d)
-    checks["c15_az_vs_ct"] = jnp.all(lhs == rhs)
+    checks["c15_az_vs_ct"] = zq_ops.all_eq(lhs, rhs)
 
     # ---- check 16: <z,z> == sum_ij g_ij c_i c_j (verification.rs:303-314)
     zz = ntt_ops.polyvec_inner_product(proof.z, proof.z, plan)  # (d,)
@@ -130,7 +137,7 @@ def verify_report(params: LabradorParams, state: State, proof: Transcript,
         prod = mod_pos(g_hat[pi_] * cc_hat[pi_], pr).reshape(-1, p.d)
         rhs16.append(ntt_ops._mod_sum(prod, pr, axis=0))
     rhs16 = ntt_ops.ntt_inv_modq(jnp.stack(rhs16), plan)
-    checks["c16_zz_vs_gcc"] = jnp.all(zz == rhs16)
+    checks["c16_zz_vs_gcc"] = zq_ops.all_eq(zz, rhs16)
 
     # ---- check 17: sum_i <phi_i,z> c_i == sum_ij h_ij c_i c_j
     # (verification.rs:320-334)
@@ -152,7 +159,7 @@ def verify_report(params: LabradorParams, state: State, proof: Transcript,
         prod = mod_pos(h_hat[pi_] * cc_hat[pi_], pr).reshape(-1, p.d)
         rhs17.append(ntt_ops._mod_sum(prod, pr, axis=0))
     rhs17 = ntt_ops.ntt_inv_modq(jnp.stack(rhs17), plan)
-    checks["c17_phiz_vs_hcc"] = jnp.all(lhs17 == rhs17)
+    checks["c17_phiz_vs_hcc"] = zq_ops.all_eq(lhs17, rhs17)
 
     # ---- check 18: sum_ij a_ij g_ij + sum_i h_ii == b (verification.rs:340-352)
     s18 = []
@@ -162,23 +169,38 @@ def verify_report(params: LabradorParams, state: State, proof: Transcript,
             pr, axis=0)
         s18.append(ag)
     s1 = ntt_ops.ntt_inv_modq(jnp.stack(s18), plan)
-    s2 = mod_pos(jnp.sum(jnp.einsum("iid->id", proof.h) % p.q, axis=0), p.q)
-    checks["c18_agg_relation"] = jnp.all(mod_pos(s1 + s2 - b, p.q) == 0)
+    if zq_ops.is_big(p.q):
+        # total = s1 + sum_i h_ii - b mod q, via one residue fold (the
+        # exact integer is in (-q, (r+2) q) << M)
+        h_res = zq_ops.to_res(proof.h, plan.primes)       # (P, r, r, d)
+        tot = []
+        for pi_, pr in enumerate(plan.primes):
+            diag = ntt_ops._mod_sum(
+                jnp.einsum("iid->id", h_res[pi_]) % pr, pr, axis=0)
+            tot.append(mod_pos(zq_ops.to_res(s1, (pr,))[0] + diag
+                               - zq_ops.to_res(b, (pr,))[0], pr))
+        total = zq_ops.fold_res_modq(jnp.stack(tot), plan, signed=True)
+        checks["c18_agg_relation"] = jnp.all(zq_ops.is_zero(total))
+    else:
+        s2 = mod_pos(jnp.sum(jnp.einsum("iid->id", proof.h) % p.q, axis=0),
+                     p.q)
+        checks["c18_agg_relation"] = jnp.all(mod_pos(s1 + s2 - b, p.q) == 0)
 
     # ---- check 19: recompute u1 (verification.rs:357-415)
     u1_cand = protocol.u1_from_digits(crs, t_dig, g_dig, p, plan)
-    checks["c19_u1"] = jnp.all(u1_cand == proof.u_1)
+    checks["c19_u1"] = zq_ops.all_eq(u1_cand, proof.u_1)
 
     # ---- check 20: recompute u2 (verification.rs:421-434)
     u2_cand = protocol.u2_from_digits(crs, h_dig, p, plan)
-    checks["c20_u2"] = jnp.all(u2_cand == proof.u_2)
+    checks["c20_u2"] = zq_ops.all_eq(u2_cand, proof.u_2)
 
     # ---- b'' constant-term consistency (verification.rs:532-551; the
     # reference runs this during proving — kept as an explicit check here)
     expected = protocol.b_pp_expected_const(
         proof.omega, proof.psi, proof.projection,
-        state.b_prime_k[: p.l_count], p.q)
-    checks["c21_b_pp_const"] = jnp.all(proof.b_prime_prime[:, 0] == expected)
+        zq_ops.index(state.b_prime_k, slice(None, p.l_count)), p.q, plan)
+    checks["c21_b_pp_const"] = zq_ops.all_eq(
+        zq_ops.index(proof.b_prime_prime, (slice(None), 0)), expected)
 
     core = [v for k, v in checks.items() if not k.startswith("c21")]
     checks["all"] = jnp.all(jnp.stack(core))
@@ -204,7 +226,7 @@ def fs_challenge_report(params: LabradorParams, proof: Transcript,
     checks: dict[str, jax.Array] = {}
 
     ost = oracle.init()
-    ost = oracle.absorb(ost, DOM_U1, [proof.u_1])
+    ost = oracle.absorb(ost, DOM_U1, jax.tree.leaves(proof.u_1))
 
     # JL matrices: must match one of the bounded retry attempts
     jl_base = oracle.challenge_key(ost, TAG_JL)
@@ -219,28 +241,28 @@ def fs_challenge_report(params: LabradorParams, proof: Transcript,
     # projection norm bound (verification.rs:568-579); transcript stores p
     # mod q, valid projections have |entries| << q/2 so the centered lift
     # recovers the integers
-    centered = jnp.where(proof.projection > p.q // 2,
-                         proof.projection - p.q, proof.projection)
+    centered = zq_ops.to_signed_small(proof.projection, p.q)
     from .ops.modmath import sum_sq_u64
     checks["fs_jl_norm"] = u64_leq_const(
         sum_sq_u64(centered), 128 * p.beta_bound * p.beta_bound)
 
-    ost = oracle.absorb(ost, DOM_JL, [proof.pi, proof.projection])
+    ost = oracle.absorb(ost, DOM_JL,
+                        jax.tree.leaves([proof.pi, proof.projection]))
     ub = p.upper_bound
-    psi_d = jnp.stack([sampling.sample_psi(
+    psi_d = zq_ops.stack([sampling.sample_psi(
         oracle.challenge_key(ost, TAG_PSI, i), p) for i in range(ub)])
-    omega_d = jnp.stack([sampling.sample_omega(
+    omega_d = zq_ops.stack([sampling.sample_omega(
         oracle.challenge_key(ost, TAG_OMEGA, i), p) for i in range(ub)])
-    checks["fs_psi"] = jnp.all(psi_d == proof.psi)
-    checks["fs_omega"] = jnp.all(omega_d == proof.omega)
+    checks["fs_psi"] = zq_ops.all_eq(psi_d, proof.psi)
+    checks["fs_omega"] = zq_ops.all_eq(omega_d, proof.omega)
 
-    ost = oracle.absorb(ost, DOM_BPP, [proof.b_prime_prime])
+    ost = oracle.absorb(ost, DOM_BPP, jax.tree.leaves(proof.b_prime_prime))
     alpha_d = sampling.sample_alpha(oracle.challenge_key(ost, TAG_ALPHA), p)
     beta_d = sampling.sample_beta(oracle.challenge_key(ost, TAG_BETA), p)
-    checks["fs_alpha"] = jnp.all(alpha_d == proof.alpha)
-    checks["fs_beta"] = jnp.all(beta_d == proof.beta)
+    checks["fs_alpha"] = zq_ops.all_eq(alpha_d, proof.alpha)
+    checks["fs_beta"] = zq_ops.all_eq(beta_d, proof.beta)
 
-    ost = oracle.absorb(ost, DOM_U2, [proof.u_2])
+    ost = oracle.absorb(ost, DOM_U2, jax.tree.leaves(proof.u_2))
     c_d = jnp.stack([sampling.sample_challenge(
         oracle.challenge_key(ost, TAG_CHALLENGE, i), p) for i in range(p.r)])
     checks["fs_challenge"] = jnp.all(c_d == proof.c)
