@@ -87,6 +87,15 @@ def make_plan(q: int, d: int = 64, max_accum: int = 1 << 20) -> NttPlan:
     from .modmath import P_MAX
     if q > zq_ops.Q_BIG_MAX:
         raise NotImplementedError(f"q={q} exceeds the two-limb range (2^33)")
+    if P_MAX < q <= (1 << 32):
+        # The big-q Barrett layout (ops/bigq._u64_mod_q) requires
+        # floor(2^64/q) < 2^32, i.e. q > 2^32; the single-limb path requires
+        # q <= P_MAX.  Reject the gap here with a clear error instead of an
+        # opaque trace-time assert deep inside prg/sampling.
+        raise NotImplementedError(
+            f"q={q} unsupported: single-limb arithmetic needs q <= {P_MAX}, "
+            f"the two-limb Barrett path needs q > 2^32. Pick q <= {P_MAX} or "
+            f"2^32 < q < 2^33 (e.g. q_start=(1 << 32) - 1).")
     primes = select_crt_primes(q, d, max_accum)
     P = len(primes)
     V = np.zeros((P, d, d), np.int32)

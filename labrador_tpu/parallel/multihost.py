@@ -33,14 +33,22 @@ def initialize(coordinator_address: str | None = None,
     if jax.process_count() > 1:
         return
     kwargs = {}
-    if coordinator_address is not None:
+    explicit = coordinator_address is not None
+    if explicit:
         kwargs = dict(coordinator_address=coordinator_address,
                       num_processes=num_processes, process_id=process_id)
     try:
         jax.distributed.initialize(**kwargs)
-    except (RuntimeError, ValueError):
-        # single-process / already initialized
-        pass
+    except RuntimeError as e:
+        # Tolerate only the already-initialized case; an explicitly
+        # configured pod must NOT silently degrade to single-process.
+        if "already initialized" in str(e).lower():
+            return
+        if explicit:
+            raise
+        # env-autodetect path on a plain single host: nothing to join
+        if num_processes not in (None, 1):
+            raise
 
 
 def global_mesh(n_dp: int = 1) -> Mesh:

@@ -15,6 +15,7 @@ Fiat-Shamir oracle (oracle.py) can reproduce them.
 
 from __future__ import annotations
 
+import math
 from functools import partial
 
 import jax
@@ -86,10 +87,13 @@ def jl_project(key: jax.Array, witness_flat: jax.Array,
     # fits-int32 guard: hi word must be the sign extension of the low word
     fits = jnp.all(acc[0] == (acc[1] >> 31))
     proj = acc[1]
-    norm_sq = sum_sq_u64(proj)
     bound = 128 * p.beta_bound * p.beta_bound
-    # any non-fitting entry has square > 2^60 >= any protocol bound here
-    ok = fits & u64_leq_const(norm_sq, bound)
+    # per-entry precheck keeps the 256-term sum of squares < 2^64 —
+    # sum_sq_u64's exactness contract (see verifier.fs_jl_norm)
+    entry_max = min(math.isqrt(bound), 2**31 - 1)
+    entries_ok = jnp.all(jnp.abs(proj) <= jnp.int32(entry_max))
+    norm_sq = sum_sq_u64(proj)
+    ok = fits & entries_ok & u64_leq_const(norm_sq, bound)
     return pi, proj, ok
 
 

@@ -7,6 +7,7 @@ jax.random keys — fully jittable, reproducible, and device-resident.
 
 from __future__ import annotations
 
+import math
 from functools import lru_cache
 
 import jax
@@ -70,12 +71,25 @@ def generate_witness(key: jax.Array, params: LabradorParams) -> jax.Array:
             w = w.hi >> (k0 - 16)
     bound = p.beta_bound * p.beta_bound
 
-    def too_big(w):
-        # sum_sq_u64: exact even while pre-rejection values reach 2^30
-        return ~u64_leq_const(sum_sq_u64(w), bound)
-
     def halve(w):
         return w // 2
+
+    # Phase 1: per-element halving until count * max(w)^2 < 2^63 — a plain
+    # int32 max comparison, no u64 sum.  Without it the true sum of squares
+    # of pre-rejection values (up to 2^30 each) can exceed 2^64 and wrap
+    # sum_sq_u64, spuriously accepting an over-norm witness.
+    count = p.r * p.n * p.d
+    elem_cap = min(math.isqrt((1 << 63) // count), 2**30)
+
+    def any_huge(w):
+        return jnp.max(w) > elem_cap
+
+    w = jax.lax.while_loop(any_huge, halve, w)
+
+    # Phase 2: the exact sum-of-squares rejection loop (now within
+    # sum_sq_u64's < 2^64 exactness contract).
+    def too_big(w):
+        return ~u64_leq_const(sum_sq_u64(w), bound)
 
     return jax.lax.while_loop(too_big, halve, w)
 

@@ -12,6 +12,7 @@ reference-faithful f64 mode is available for parity studies.
 
 from __future__ import annotations
 
+import math
 from functools import partial
 
 import jax
@@ -240,11 +241,21 @@ def fs_challenge_report(params: LabradorParams, proof: Transcript,
 
     # projection norm bound (verification.rs:568-579); transcript stores p
     # mod q, valid projections have |entries| << q/2 so the centered lift
-    # recovers the integers
+    # recovers the integers.  Per-entry precheck first: every entry of a
+    # valid projection must itself satisfy |p_i| <= sqrt(128)*beta, and with
+    # all entries bounded the 256-term sum of squares stays < 2^64, which is
+    # sum_sq_u64's exactness contract — without it an adversarial transcript
+    # with ~2^31 centered entries could wrap the emulated-u64 accumulator
+    # mod 2^64 and land under the bound.  (int32 wraps in to_signed_small
+    # near q/2 keep magnitudes ~2^31 and still fail the precheck.)
     centered = zq_ops.to_signed_small(proof.projection, p.q)
     from .ops.modmath import sum_sq_u64
-    checks["fs_jl_norm"] = u64_leq_const(
-        sum_sq_u64(centered), 128 * p.beta_bound * p.beta_bound)
+    bound = 128 * p.beta_bound * p.beta_bound
+    entry_max = math.isqrt(bound)
+    entries_ok = jnp.all(jnp.abs(centered) <= jnp.int32(min(entry_max,
+                                                            2**31 - 1)))
+    checks["fs_jl_norm"] = entries_ok & u64_leq_const(
+        sum_sq_u64(centered), bound)
 
     ost = oracle.absorb(ost, DOM_JL,
                         jax.tree.leaves([proof.pi, proof.projection]))

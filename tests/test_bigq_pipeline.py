@@ -94,3 +94,21 @@ def test_bigq_transcript_roundtrip(tmp_path, big_setup):
     # size metric counts the full-width residues
     size = structs.transcript_size_in_bytes(proof, p.q)
     assert size > 0
+
+
+def test_fs_jl_norm_wrap_rejected(big_setup):
+    """Adversarial projection whose sum of squares wraps mod 2^64: 256
+    entries of 2^28 give a true sum of exactly 2^64 (== 0 wrapped), which
+    the raw emulated-u64 comparison alone would accept.  The per-entry
+    precheck (|p_i| <= sqrt(128)*beta) must reject it (ADVICE r1 high)."""
+    p, w, state, crs, kv, proof = big_setup
+    forged = zq.from_signed(jnp.full((256,), 1 << 28, jnp.int32), p.q)
+    fs = verifier.fs_challenge_report(p, proof.replace(projection=forged),
+                                      crs)
+    assert not bool(np.asarray(fs["fs_jl_norm"]))
+    # sanity: the wrap really happens (raw sum compares below the bound)
+    from labrador_tpu.ops.modmath import sum_sq_u64, u64_leq_const
+    centered = zq.to_signed_small(forged, p.q)
+    wrapped_ok = u64_leq_const(sum_sq_u64(centered),
+                               128 * p.beta_bound * p.beta_bound)
+    assert bool(np.asarray(wrapped_ok))  # the bug the precheck closes

@@ -55,3 +55,14 @@ def test_crt_primes_cover_range():
     for pr in p.crt_primes:
         prod *= pr
     assert prod > 2 * max(2 * p.kappa, 1024) * p.d * (p.q - 1) ** 2
+
+
+def test_unsupported_q_gap_raises():
+    """Moduli in (P_MAX, 2^32] are rejected with a clear error at plan
+    creation instead of an opaque trace-time Barrett assert (ADVICE r1)."""
+    import pytest
+    from labrador_tpu.ops.ntt import make_plan
+    with pytest.raises(NotImplementedError, match="unsupported"):
+        make_plan(65537)
+    with pytest.raises(NotImplementedError, match="unsupported"):
+        make_plan((1 << 31) - 1)

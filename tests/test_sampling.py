@@ -56,3 +56,17 @@ def test_uniform_zq_range_and_mean():
     a = np.asarray(v, np.int64)
     assert a.min() >= 0 and a.max() < P.q
     assert abs(a.mean() - P.q / 2) < 3 * P.q / np.sqrt(12 * a.size)
+
+
+def test_witness_norm_exact_bigq():
+    """Big-q witness generation: the accepted witness satisfies the norm
+    bound under *object-integer* (infinite-precision) accounting — guards
+    the pre-halving phase that keeps sum_sq_u64 within its < 2^64
+    exactness contract (ADVICE r1: the raw u64 sum of pre-rejection values
+    could wrap and spuriously accept an over-norm witness)."""
+    p = LabradorParams(n=4, r=4, q_start=(1 << 32) - 1)
+    w = sampling.generate_witness(jax.random.key(3), p)
+    a = np.asarray(w).astype(object)
+    assert (a >= 0).all()
+    total = int((a * a).sum())
+    assert total <= p.beta_bound**2
