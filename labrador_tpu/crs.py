@@ -44,22 +44,10 @@ def _np_offsets(start: int, count: int) -> tuple[np.ndarray, np.ndarray]:
         (offs & np.uint64(0xFFFFFFFF)).astype(np.uint32)
 
 
-@struct.dataclass
-class CRS:
-    """Seeded virtual CRS.  ``key`` is a pair of uint32 (the counter-mode
-    analog of the 32-byte base seed at ``structs.rs:176``).  A pytree: the
-    key is a *traced* leaf so jitted prover/verifier programs are reused
-    across CRS seeds (a static key would make XLA constant-fold the entire
-    CRS expansion at compile time).  ``params`` is static metadata."""
-
-    key: jax.Array  # (2,) uint32
-    params: LabradorParams = struct.field(pytree_node=False)
-
-    @classmethod
-    def create(cls, params: LabradorParams, seed: int) -> "CRS":
-        key = jnp.asarray([(seed >> 32) & 0xFFFFFFFF, seed & 0xFFFFFFFF],
-                          jnp.uint32)
-        return cls(key=key, params=params)
+class _CrsLayout:
+    """Shared offset layout + fetchers: subclasses provide ``_expand`` /
+    ``_expand_dyn`` (Threefry counter-mode on device, or gathers from a
+    host-materialized ChaCha-compatible coefficient stream)."""
 
     # -- offset layout (verbatim from structs.rs:55-144) -------------------
     @property
@@ -103,15 +91,6 @@ class CRS:
         off = k + p.t_1 * (self._sum_pairs(i, p.r) + (j - i))
         return self._off_d + off * (p.kappa_2 * p.d)
 
-    # -- expansion ---------------------------------------------------------
-    def _expand(self, start: int, shape: tuple[int, ...]):
-        count = int(np.prod(shape))
-        hi, lo = _np_offsets(start, count)
-        vals = prg.uniform_mod_q(self.key[0], self.key[1],
-                                 jnp.asarray(hi), jnp.asarray(lo),
-                                 self.params.q)
-        return zq_ops.reshape(vals, shape)
-
     def a_rows(self, row0: int = 0, nrows: int | None = None) -> jax.Array:
         """(nrows, n, d) block of A starting at row0 (``fetch_A_row``,
         structs.rs:55-72; offset = row * n * d)."""
@@ -138,35 +117,6 @@ class CRS:
         """(kappa_2, d) column vector D_ijk (``fetch_D_ijk``, structs.rs:116-144)."""
         p = self.params
         return self._expand(self._d_start(i, j, k), (p.kappa_2, p.d))
-
-    # -- dynamic-index expansion (sharded/tiled consumers) -----------------
-    def _expand_dyn(self, base: int, idx0, stride0: int,
-                    shape: tuple[int, ...], strides: tuple[int, ...],
-                    idx1=None, stride1: int = 0) -> jax.Array:
-        """Expand a tile whose origin depends on *traced* indices.
-
-        offset[i0, i1, ...] = base + idx0*stride0 [+ idx1*stride1]
-                              + sum_k i_k * strides[k].
-        idx0/idx1 are traced nonneg int32 scalars (scan counters, shard
-        indices from jax.lax.axis_index); everything else is static.
-        64-bit offset arithmetic is emulated on uint32 pairs (ops/prg.py).
-        """
-        start = prg.offset_add(prg.offset_const(base),
-                               prg.offset_mul_i32(jnp.int32(idx0), stride0))
-        if idx1 is not None:
-            start = prg.offset_add(
-                start, prg.offset_mul_i32(jnp.int32(idx1), stride1))
-        off = (jnp.asarray(start[0], jnp.uint32),
-               jnp.asarray(start[1], jnp.uint32))
-        for ax, (n_ax, s_ax) in enumerate(zip(shape, strides)):
-            offs = np.arange(n_ax, dtype=np.uint64) * np.uint64(s_ax)
-            bshape = (1,) * ax + (n_ax,) + (1,) * (len(shape) - ax - 1)
-            off = prg.offset_add(off, (
-                jnp.asarray((offs >> np.uint64(32)).astype(np.uint32)).reshape(bshape),
-                jnp.asarray((offs & np.uint64(0xFFFFFFFF)).astype(np.uint32)).reshape(bshape)))
-        vals = prg.uniform_mod_q(self.key[0], self.key[1], off[0], off[1],
-                                 self.params.q)
-        return zq_ops.tmap(lambda v: jnp.broadcast_to(v, shape), vals)
 
     def a_rows_dyn(self, row0, nrows: int) -> jax.Array:
         """(nrows, n, d) block of A at a *traced* row offset — for
@@ -240,3 +190,130 @@ class CRS:
                     out = zq_ops.tmap(lambda o, v: o.at[i, j, k].set(v),
                                       out, self.d_vec(i, j, k))
         return out
+
+
+@struct.dataclass
+class CRS(_CrsLayout):
+    """Seeded virtual CRS.  ``key`` is a pair of uint32 (the counter-mode
+    analog of the 32-byte base seed at ``structs.rs:176``).  A pytree: the
+    key is a *traced* leaf so jitted prover/verifier programs are reused
+    across CRS seeds (a static key would make XLA constant-fold the entire
+    CRS expansion at compile time).  ``params`` is static metadata."""
+
+    key: jax.Array  # (2,) uint32
+    params: LabradorParams = struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, params: LabradorParams, seed: int) -> "CRS":
+        key = jnp.asarray([(seed >> 32) & 0xFFFFFFFF, seed & 0xFFFFFFFF],
+                          jnp.uint32)
+        return cls(key=key, params=params)
+
+    # -- expansion ---------------------------------------------------------
+    def _expand(self, start: int, shape: tuple[int, ...]):
+        count = int(np.prod(shape))
+        hi, lo = _np_offsets(start, count)
+        vals = prg.uniform_mod_q(self.key[0], self.key[1],
+                                 jnp.asarray(hi), jnp.asarray(lo),
+                                 self.params.q)
+        return zq_ops.reshape(vals, shape)
+
+    # -- dynamic-index expansion (sharded/tiled consumers) -----------------
+    def _expand_dyn(self, base: int, idx0, stride0: int,
+                    shape: tuple[int, ...], strides: tuple[int, ...],
+                    idx1=None, stride1: int = 0) -> jax.Array:
+        """Expand a tile whose origin depends on *traced* indices.
+
+        offset[i0, i1, ...] = base + idx0*stride0 [+ idx1*stride1]
+                              + sum_k i_k * strides[k].
+        idx0/idx1 are traced nonneg int32 scalars (scan counters, shard
+        indices from jax.lax.axis_index); everything else is static.
+        64-bit offset arithmetic is emulated on uint32 pairs (ops/prg.py).
+        """
+        start = prg.offset_add(prg.offset_const(base),
+                               prg.offset_mul_i32(jnp.int32(idx0), stride0))
+        if idx1 is not None:
+            start = prg.offset_add(
+                start, prg.offset_mul_i32(jnp.int32(idx1), stride1))
+        off = (jnp.asarray(start[0], jnp.uint32),
+               jnp.asarray(start[1], jnp.uint32))
+        for ax, (n_ax, s_ax) in enumerate(zip(shape, strides)):
+            offs = np.arange(n_ax, dtype=np.uint64) * np.uint64(s_ax)
+            bshape = (1,) * ax + (n_ax,) + (1,) * (len(shape) - ax - 1)
+            off = prg.offset_add(off, (
+                jnp.asarray((offs >> np.uint64(32)).astype(np.uint32)).reshape(bshape),
+                jnp.asarray((offs & np.uint64(0xFFFFFFFF)).astype(np.uint32)).reshape(bshape)))
+        vals = prg.uniform_mod_q(self.key[0], self.key[1], off[0], off[1],
+                                 self.params.q)
+        return zq_ops.tmap(lambda v: jnp.broadcast_to(v, shape), vals)
+
+
+def _used_intervals(p: LabradorParams) -> list[tuple[int, int]]:
+    """Coefficient-offset intervals the protocol actually reads, per the
+    structs.rs:55-144 layout *including its quirks*: the B stride omits a
+    factor d (structs.rs:82), so consecutive B matrices overlap and a huge
+    never-read gap separates the last-read B coefficient from _off_c; the
+    C/D column offsets use t_1 where C logically has t_2 digits
+    (structs.rs:106), so C reads can run past _off_d into D's region."""
+    size_b = p.kappa_1 * p.kappa
+    off_b = p.kappa * p.n * p.d
+    off_c = off_b + (p.r * p.t_1) * size_b * p.d
+    n_tri = p.r * (p.r + 1) // 2
+    off_d = off_c + n_tri * (p.kappa_2 * p.d)
+    b_end = off_b + (p.r * p.t_1 - 1) * size_b + p.kappa_1 * p.kappa * p.d
+    c_end = off_c + ((p.t_2 - 1) + p.t_1 * (n_tri - 1) + 1) * p.kappa_2 * p.d
+    d_end = off_d + ((p.t_1 - 1) + p.t_1 * (n_tri - 1) + 1) * p.kappa_2 * p.d
+    return [(0, b_end), (off_c, max(c_end, d_end))]
+
+
+@struct.dataclass
+class MaterializedCRS(_CrsLayout):
+    """Reference-parity CRS backend: the coefficient stream is generated on
+    the host by the ChaCha20-compatible generator (native/chacha_compat.cpp,
+    reproducing ``CRS::generate_random_coeff``'s per-coefficient re-key at
+    structs.rs:147-171 bit-for-bit) and held as one flat device array;
+    fetches become slices/gathers.  Same fetch API as ``CRS``, so the whole
+    prover/verifier pipeline runs unchanged on reference-identical CRS
+    values (SURVEY.md §4(b): bit-exact vectors vs the reference).
+
+    Only for small configs — the runtime path is the virtual counter-mode
+    ``CRS``; this backend exists for cross-validation."""
+
+    coeffs: jax.Array  # (total,) int32 residues in [0, q)
+    key: jax.Array     # (2,) uint32 FS-oracle salt derived from the seed
+    params: LabradorParams = struct.field(pytree_node=False)
+
+    @classmethod
+    def create_chacha(cls, params: LabradorParams,
+                      base_seed: bytes) -> "MaterializedCRS":
+        """Generate every protocol-read coefficient from ``base_seed``
+        exactly as the reference's lazy oracle would (structs.rs:55-171)."""
+        from . import native
+        assert len(base_seed) == 32
+        assert not zq_ops.is_big(params.q), \
+            "reference parity only exists at reference-runnable moduli"
+        intervals = _used_intervals(params)
+        total = intervals[-1][1]
+        flat = np.zeros(total, np.int64)
+        for lo, hi in intervals:
+            flat[lo:hi] = native.crs_coeffs(base_seed, lo, hi - lo, params.q)
+        key = np.frombuffer(base_seed[:8], dtype=">u4").astype(np.uint32)
+        return cls(coeffs=jnp.asarray(flat, jnp.int32),
+                   key=jnp.asarray(key), params=params)
+
+    def _expand(self, start: int, shape: tuple[int, ...]):
+        count = int(np.prod(shape))
+        return jax.lax.dynamic_slice_in_dim(
+            self.coeffs, start, count).reshape(shape)
+
+    def _expand_dyn(self, base: int, idx0, stride0: int,
+                    shape: tuple[int, ...], strides: tuple[int, ...],
+                    idx1=None, stride1: int = 0) -> jax.Array:
+        idx = jnp.int32(base) + jnp.int32(idx0) * jnp.int32(stride0)
+        if idx1 is not None:
+            idx = idx + jnp.int32(idx1) * jnp.int32(stride1)
+        for ax, (n_ax, s_ax) in enumerate(zip(shape, strides)):
+            grid = (np.arange(n_ax, dtype=np.int64) * s_ax).astype(np.int32)
+            bshape = (1,) * ax + (n_ax,) + (1,) * (len(shape) - ax - 1)
+            idx = idx + jnp.asarray(grid).reshape(bshape)
+        return jnp.take(self.coeffs, idx, mode="fill", fill_value=0)
