@@ -8,6 +8,8 @@ evaluation-domain tensors; see structs.py for shapes.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
 
@@ -17,6 +19,29 @@ from .ops import rq as rq_ops
 from .ops import zq as zq_ops
 from .ops.modmath import mod_pos, modmul_mm
 from .ops.decompose import decompose
+
+
+class AxisCtx(NamedTuple):
+    """Collective context for the kappa-sized CRS consumers.
+
+    When set, ``ajtai_commit`` / ``u1_from_digits`` / ``u2_from_digits``
+    run *inside* a shard_map over ``axis``: each device expands only its
+    own CRS row/column tiles, computes a partial sum, and one psum (or
+    all_gather for the Ajtai rows) over the axis completes the reduction —
+    the TPU mapping of the reference's two rayon sites
+    (``proofgen.rs:101-124``, ``verification.rs:372-415``).  ``None``
+    (default) is the plain single-device path.  Hashable, so it can be a
+    static jit argument."""
+
+    axis: str
+    n_shards: int
+
+
+def _axis_psum_eval(acc: jax.Array, plan, ctx: AxisCtx) -> jax.Array:
+    """psum an eval-domain per-prime partial over the ctx axis (exact:
+    n_shards * p < 2^31 for any realistic mesh)."""
+    s = jax.lax.psum(acc, ctx.axis)
+    return jnp.stack([mod_pos(s[pi], p) for pi, p in enumerate(plan.primes)])
 
 
 # ---------------------------------------------------------------------------
@@ -232,7 +257,8 @@ U1_STEP_COEFFS = 1 << 25
 
 
 def u1_from_digits(crs, t_dig: jax.Array, g_dig: jax.Array,
-                   params: LabradorParams, plan) -> jax.Array:
+                   params: LabradorParams, plan,
+                   ctx: AxisCtx | None = None) -> jax.Array:
     """u1 = sum_{i,k} B_ik t_i^{(k)} + sum_{i<=j,k} C_ijk g_ij^{(k)}.
 
     The lhs is one virtual matmul  [B_0 | ... | B_{rt1-1}] @ concat(t_dig):
@@ -240,11 +266,36 @@ def u1_from_digits(crs, t_dig: jax.Array, g_dig: jax.Array,
     (generated on the fly — the CRS never materializes), so the scan is
     r*t_1/G steps of large MXU work instead of r*t_1 serialized matvecs.
     -> (kappa_1, d) coeff domain.  (proofgen.rs:100-153 / verification.rs:357-415)
+
+    With ``ctx``: contraction-sharded over the kappa axis — each device
+    expands only its own B column block and C-vector subset, computes a
+    local partial of BOTH terms, and a single psum over ``ctx.axis``
+    completes u1 (the rayon loop of proofgen.rs:101-124, on chips).
     """
     p = params
     P = len(plan.primes)
     m_total = p.r * p.t_1
     t_stream = jnp.swapaxes(t_dig, 0, 1).reshape(m_total, p.kappa, p.d)
+
+    if ctx is not None:
+        assert p.kappa % ctx.n_shards == 0, \
+            f"kappa={p.kappa} must divide the {ctx.axis} axis ({ctx.n_shards})"
+        rows_per = p.kappa // ctx.n_shards
+        col0 = jax.lax.axis_index(ctx.axis) * rows_per
+        t_loc = jax.lax.dynamic_slice_in_dim(t_stream, col0, rows_per, axis=1)
+
+        def body_loc(acc, m):
+            b_blk = crs.b_mat_dyn(m, col0=col0, ncols=rows_per)
+            b_hat = ntt_ops.ntt_fwd(b_blk, plan)       # (P, k1, rows, d)
+            t_m = jax.lax.dynamic_index_in_dim(t_loc, m, 0, keepdims=False)
+            t_hat = ntt_ops.ntt_fwd(t_m[:, None, :], plan)
+            prod = ntt_ops.eval_matmul(b_hat, t_hat, plan)[:, :, 0, :]
+            return _eval_add(acc, prod, plan), None
+
+        acc0 = jnp.zeros((P, p.kappa_1, p.d), jnp.int32)
+        acc, _ = jax.lax.scan(body_loc, acc0, jnp.arange(m_total))
+        acc = _eval_add(acc, u1_rhs_hat(crs, g_dig, p, plan, ctx), plan)
+        return ntt_ops.ntt_inv_modq(_axis_psum_eval(acc, plan, ctx), plan)
 
     # group size: G whole B matrices per step within the coefficient budget
     per_pair = p.kappa_1 * p.kappa * p.d
@@ -318,20 +369,62 @@ def _cd_batched_sum(crs, base: int, dig_stream: jax.Array, n_tri: int,
     return acc
 
 
-def u1_rhs_hat(crs, g_dig: jax.Array, params: LabradorParams, plan) -> jax.Array:
-    """Eval-domain sum_{i<=j,k} C_ijk g_ij^{(k)}."""
+def _cd_sharded_partial(crs, base: int, dig_stream: jax.Array, n_tri: int,
+                        t_used: int, params: LabradorParams, plan,
+                        ctx: AxisCtx) -> jax.Array:
+    """This device's partial of  sum_{tri,k} M_{tri,k} * dig[tri,k]  with
+    the linear (tri, k) index space sharded over ``ctx.axis``.  The CRS
+    column offsets follow the t_1-multiplier layout (structs.rs:106):
+    oc(tri, k) = tri * t_1 + k — NOT affine in the linear index when
+    t_used < t_1, so per-tile offsets go through the vectorized
+    ``_expand_dyn`` (idx0 broadcast as (G, 1, 1)).  -> (P, kappa_2, d)
+    eval partial; caller psums."""
+    p = params
+    L = n_tri * t_used
+    Lp = -(-L // ctx.n_shards)
+    idx = jax.lax.axis_index(ctx.axis)
+    lin = idx * Lp + jnp.arange(Lp, dtype=jnp.int32)          # (Lp,)
+    lin_c = jnp.minimum(lin, L - 1)                            # clamp pads
+    oc = (lin_c // t_used) * p.t_1 + (lin_c % t_used)
+    # padded digits are zero, so clamped-offset tiles contribute nothing
+    dig_flat = dig_stream.reshape(L, p.d)
+    pad = Lp * ctx.n_shards - L
+    if pad:
+        dig_flat = jnp.concatenate(
+            [dig_flat, jnp.zeros((pad, p.d), dig_flat.dtype)], axis=0)
+    dig_loc = jax.lax.dynamic_slice_in_dim(dig_flat, idx * Lp, Lp, 0)
+    mats = crs._expand_dyn(base, oc.reshape(Lp, 1, 1), p.kappa_2 * p.d,
+                           (Lp, p.kappa_2, p.d), (0, p.d, 1))
+    mats_hat = ntt_ops.ntt_fwd(
+        zq_ops.moveaxis(mats, 0, 1), plan)                    # (P,k2,Lp,d)
+    dig_hat = ntt_ops.ntt_fwd(dig_loc[:, None, :], plan)      # (P,Lp,1,d)
+    return ntt_ops.eval_matmul(mats_hat, dig_hat, plan)[:, :, 0, :]
+
+
+def u1_rhs_hat(crs, g_dig: jax.Array, params: LabradorParams, plan,
+               ctx: AxisCtx | None = None) -> jax.Array:
+    """Eval-domain sum_{i<=j,k} C_ijk g_ij^{(k)} (local partial if ctx)."""
     p = params
     g_stream = _tri_stream(g_dig, p)                            # (tri, t2, d)
+    if ctx is not None:
+        return _cd_sharded_partial(crs, crs._off_c, g_stream,
+                                   g_stream.shape[0], p.t_2, p, plan, ctx)
     return _cd_batched_sum(crs, crs._off_c, g_stream, g_stream.shape[0],
                            p.t_2, p, plan)
 
 
 def u2_from_digits(crs, h_dig: jax.Array, params: LabradorParams,
-                   plan) -> jax.Array:
+                   plan, ctx: AxisCtx | None = None) -> jax.Array:
     """u2 = sum_{i<=j, k<t_1} D_ijk h_ij^{(k)}  ->  (kappa_2, d).
-    (proofgen.rs:364-378 / verification.rs:421-434)"""
+    (proofgen.rs:364-378 / verification.rs:421-434)
+    With ``ctx``: the (tri, k) terms are sharded over the axis + one psum
+    (the verifier-side rayon site, verification.rs:372-415)."""
     p = params
     h_stream = _tri_stream(h_dig, p)                            # (tri, t1, d)
+    if ctx is not None:
+        part = _cd_sharded_partial(crs, crs._off_d, h_stream,
+                                   h_stream.shape[0], p.t_1, p, plan, ctx)
+        return ntt_ops.ntt_inv_modq(_axis_psum_eval(part, plan, ctx), plan)
     acc = _cd_batched_sum(crs, crs._off_d, h_stream, h_stream.shape[0],
                           p.t_1, p, plan)
     return ntt_ops.ntt_inv_modq(acc, plan)
@@ -362,19 +455,37 @@ U1_COL_TILE = 512
 
 
 def ajtai_commit(crs, s_hat: jax.Array, params: LabradorParams,
-                 plan, use_pallas: bool = False) -> jax.Array:
+                 plan, use_pallas: bool = False,
+                 ctx: AxisCtx | None = None) -> jax.Array:
     """t_i = A s_i for all i: (P, r, n, d) witness -> (r, kappa, d) coeff.
     Row-tiled when kappa is large: A tiles are PRG-expanded, transformed,
     multiplied, and discarded inside a scan.  (proofgen.rs:41-49)
 
     use_pallas=True runs the fully fused Pallas kernel (ops/ajtai_pallas):
     PRG + NTT + contraction + Garner in one VMEM-resident pass —
-    bit-identical output."""
+    bit-identical output.
+
+    With ``ctx``: row-sharded — each device expands only its own kappa-row
+    block of A, computes its slice of t, and an all_gather over ``ctx.axis``
+    assembles the transcript tensor."""
     if use_pallas:
         from .ops.ajtai_pallas import ajtai_commit_pallas
         return ajtai_commit_pallas(crs.key, s_hat, params, plan)
     p = params
     st = jnp.swapaxes(s_hat, -3, -2)                       # (P, n, r, d)
+
+    if ctx is not None:
+        assert p.kappa % ctx.n_shards == 0, \
+            f"kappa={p.kappa} must divide the {ctx.axis} axis ({ctx.n_shards})"
+        rows_per = p.kappa // ctx.n_shards
+        row0 = jax.lax.axis_index(ctx.axis) * rows_per
+        a_blk = crs.a_rows_dyn(row0, rows_per)             # (rows, n, d)
+        a_hat = ntt_ops.ntt_fwd(a_blk, plan)
+        t_hat = ntt_ops.eval_matmul(a_hat, st, plan)       # (P, rows, r, d)
+        t_loc = zq_ops.swapaxes(ntt_ops.ntt_inv_modq(t_hat, plan), 0, 1)
+        return zq_ops.tmap(
+            lambda x: jax.lax.all_gather(x, ctx.axis, axis=1, tiled=True),
+            t_loc)                                         # (r, kappa, d)
     if p.kappa <= AJTAI_ROW_TILE or p.kappa % AJTAI_ROW_TILE != 0:
         a_hat = ntt_ops.ntt_fwd(crs.a_rows(), plan)        # (P, kappa, n, d)
         t_hat = ntt_ops.eval_matmul(a_hat, st, plan)       # (P, kappa, r, d)

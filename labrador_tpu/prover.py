@@ -125,12 +125,20 @@ def _jl_with_retries(key: jax.Array, witness_flat: jax.Array,
 def prove_impl(params: LabradorParams, witness: jax.Array, state: State,
                crs, oracle,
                decomp_mode: str = "reference",
-               kernel_backend: str = "xla") -> Transcript:
+               kernel_backend: str = "xla",
+               ctx: protocol.AxisCtx | None = None) -> Transcript:
     """Proof generation (unjitted core — compose with vmap/shard_map; use
     ``prove``/``prove_fs`` for the jitted entry points).  `crs` is a CRS
     pytree (traced key, static params) so compiled programs are reused
     across seeds; `oracle` supplies challenges (oracle.py) and absorbs the
-    protocol messages in order for the Fiat-Shamir mode."""
+    protocol messages in order for the Fiat-Shamir mode.
+
+    ``ctx`` (protocol.AxisCtx) runs the kappa-heavy phases — Ajtai, u1, u2 —
+    sharded over a mesh axis: THE single protocol implementation serves
+    single-chip, vmapped-batch, and multi-chip execution (the sharded
+    prover in parallel/sharded.py is prove_impl under shard_map, not a
+    fork).  Everything not kappa-sized is computed replicated per device —
+    identical inputs + explicit keys make the replicas bit-identical."""
     ost = oracle.init()
     p = params
     plan = ntt_ops.plan_for(p)
@@ -138,7 +146,8 @@ def prove_impl(params: LabradorParams, witness: jax.Array, state: State,
 
     # -- step 1: inner Ajtai commitments t_i = A s_i (proofgen.rs:41-49)
     t = protocol.ajtai_commit(crs, s_hat, p, plan,
-                              use_pallas=(kernel_backend == "pallas"))
+                              use_pallas=(kernel_backend == "pallas"),
+                              ctx=ctx)
 
     # -- step 2: Gram matrix g_ij = <s_i, s_j> (proofgen.rs:59-70)
     g_hat = protocol.gram_hat(s_hat, plan)
@@ -147,7 +156,7 @@ def prove_impl(params: LabradorParams, witness: jax.Array, state: State,
     # -- step 3: outer commitment u1 (proofgen.rs:100-153)
     t_dig = protocol.decompose_t(t, p, decomp_mode)       # (t1, r, kappa, d)
     g_dig = protocol.decompose_g(g, p, decomp_mode)       # (t2, r, r, d)
-    u_1 = protocol.u1_from_digits(crs, t_dig, g_dig, p, plan)
+    u_1 = protocol.u1_from_digits(crs, t_dig, g_dig, p, plan, ctx=ctx)
 
     # -- step 4: JL projection with retries (proofgen.rs:161-186)
     ost = oracle.absorb(ost, DOM_U1, jax.tree.leaves(u_1))
@@ -218,7 +227,7 @@ def prove_impl(params: LabradorParams, witness: jax.Array, state: State,
 
     # -- step 8: outer commitment u2 (proofgen.rs:364-378)
     h_dig = protocol.decompose_h(h, p, decomp_mode)
-    u_2 = protocol.u2_from_digits(crs, h_dig, p, plan)
+    u_2 = protocol.u2_from_digits(crs, h_dig, p, plan, ctx=ctx)
 
     # -- step 9: amortized opening (proofgen.rs:380-399)
     ost = oracle.absorb(ost, DOM_U2, jax.tree.leaves(u_2))

@@ -29,11 +29,27 @@ from .prover import (TAG_JL, TAG_PSI, TAG_OMEGA, TAG_ALPHA, TAG_BETA,
 from .structs import State, Transcript
 
 
-@partial(jax.jit, static_argnames=("params", "decomp_mode", "norm_mode"))
+@partial(jax.jit, static_argnames=("params", "decomp_mode", "norm_mode",
+                                   "ctx"))
 def verify_report(params: LabradorParams, state: State, proof: Transcript,
                   crs, decomp_mode: str = "reference",
-                  norm_mode: str = "exact") -> dict:
+                  norm_mode: str = "exact",
+                  ctx: protocol.AxisCtx | None = None) -> dict:
     """All checks; returns {name: bool array} plus 'all'."""
+    return verify_report_impl(params, state, proof, crs, decomp_mode,
+                              norm_mode, ctx)
+
+
+def verify_report_impl(params: LabradorParams, state: State,
+                       proof: Transcript, crs,
+                       decomp_mode: str = "reference",
+                       norm_mode: str = "exact",
+                       ctx: protocol.AxisCtx | None = None) -> dict:
+    """Unjitted check pipeline (compose with shard_map — see
+    parallel.sharded.make_sharded_verifier).  With ``ctx`` the three
+    CRS-re-expanding checks (15, 19, 20 — the verifier's dominant cost, and
+    the one site the reference parallelizes, verification.rs:372-415) shard
+    their row/contraction work over the mesh axis."""
     p = params
     plan = ntt_ops.plan_for(p)
     checks: dict[str, jax.Array] = {}
@@ -113,7 +129,7 @@ def verify_report(params: LabradorParams, state: State, proof: Transcript,
     # streaming kernel as the prover's Ajtai commitment)
     z_hat = ntt_ops.ntt_fwd(proof.z, plan)                     # (P, n, d)
     lhs = zq_ops.index(
-        protocol.ajtai_commit(crs, z_hat[:, None, :, :], p, plan), 0)
+        protocol.ajtai_commit(crs, z_hat[:, None, :, :], p, plan, ctx=ctx), 0)
     c_hat = ntt_ops.ntt_fwd(proof.c, plan)                     # (P, r, d)
     t_hat = ntt_ops.ntt_fwd(proof.t, plan)                     # (P,r,kap,d)
     rhs_terms = []
@@ -188,11 +204,11 @@ def verify_report(params: LabradorParams, state: State, proof: Transcript,
         checks["c18_agg_relation"] = jnp.all(mod_pos(s1 + s2 - b, p.q) == 0)
 
     # ---- check 19: recompute u1 (verification.rs:357-415)
-    u1_cand = protocol.u1_from_digits(crs, t_dig, g_dig, p, plan)
+    u1_cand = protocol.u1_from_digits(crs, t_dig, g_dig, p, plan, ctx=ctx)
     checks["c19_u1"] = zq_ops.all_eq(u1_cand, proof.u_1)
 
     # ---- check 20: recompute u2 (verification.rs:421-434)
-    u2_cand = protocol.u2_from_digits(crs, h_dig, p, plan)
+    u2_cand = protocol.u2_from_digits(crs, h_dig, p, plan, ctx=ctx)
     checks["c20_u2"] = zq_ops.all_eq(u2_cand, proof.u_2)
 
     # ---- b'' constant-term consistency (verification.rs:532-551; the
