@@ -155,6 +155,9 @@ def main():
                     help="force the plain XLA polymul path")
     ap.add_argument("--batch-prove", type=int, default=0, metavar="B",
                     help="also measure vmapped proofs/s at batch B")
+    ap.add_argument("--phases", action="store_true",
+                    help="also report per-phase prover timings "
+                         "(phase-dispatched, steady state)")
     args = ap.parse_args()
 
     if args.cpu or args.calibrate:
@@ -206,6 +209,34 @@ def main():
         pps = bench_batch_prove(batch=args.batch_prove)
         _stderr(f"batched prover throughput: {pps:.1f} proofs/s "
                 f"(batch={args.batch_prove})")
+
+    if args.phases:
+        timings = bench_phases()
+        _stderr("per-phase prover timings (steady state): " +
+                ", ".join(f"{k}={v*1e3:.1f}ms" for k, v in timings.items()))
+
+
+def bench_phases(n: int = 2, r: int = 2, iters: int = 3) -> dict:
+    """Per-phase prover wall clock via the phase-dispatched runner
+    (SURVEY.md §5.1 — structured per-phase metrics in runs)."""
+    import jax
+    from labrador_tpu.params import LabradorParams
+    from labrador_tpu import sampling, structs, prover
+    from labrador_tpu.crs import CRS
+    from labrador_tpu.utils.profiling import PhaseTimer
+
+    p = LabradorParams(n=n, r=r)
+    key = jax.random.key(11)
+    kw, ks, kv = jax.random.split(key, 3)
+    witness = sampling.generate_witness(kw, p)
+    state = structs.generate_state(ks, witness, p)
+    crs = CRS.create(p, seed=0xBEEF)
+    prover.prove_checkpointed(p, witness, state, crs, kv)  # compile
+    timer = PhaseTimer()
+    for i in range(iters):
+        prover.prove_checkpointed(p, witness, state, crs,
+                                  jax.random.fold_in(kv, i), timer=timer)
+    return {k: v / iters for k, v in timer.phases.items()}
 
 
 if __name__ == "__main__":

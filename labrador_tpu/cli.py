@@ -54,6 +54,13 @@ def main(argv=None) -> int:
                     help="2^32-scale modulus (q = 4294967311, the "
                          "constants.rs:196 configuration the reference "
                          "cannot run; two-limb exact arithmetic)")
+    ap.add_argument("--phases", action="store_true",
+                    help="phase-dispatched proving with a per-phase timer "
+                         "report (utils.profiling.PhaseTimer)")
+    ap.add_argument("--ckpt", type=str, default="",
+                    help="checkpoint path: persist each proving phase and "
+                         "resume from the last completed one (implies "
+                         "--phases)")
     args = ap.parse_args(argv)
 
     import jax
@@ -91,14 +98,25 @@ def main(argv=None) -> int:
     if args.verbose:
         print("Generating proof..")
     t1 = time.time()
+    timer = None
     if args.fs:
         proof = prover.prove_fs(p, witness, state, crs,
                                 decomp_mode=decomp_mode)
+    elif args.phases or args.ckpt:
+        from .utils.profiling import PhaseTimer
+        timer = PhaseTimer()
+        proof = prover.prove_checkpointed(p, witness, state, crs, kv,
+                                          ckpt_path=args.ckpt or None,
+                                          decomp_mode=decomp_mode,
+                                          timer=timer)
     else:
         proof = prover.prove(p, witness, state, crs, kv,
                              decomp_mode=decomp_mode)
     proof = jax.block_until_ready(proof)
     t_prove = time.time() - t1
+    if timer is not None and args.verbose:
+        print("Per-phase prover timings (incl. per-phase compile):")
+        print(timer.report())
     assert bool(proof.jl_ok), "JL projection failed after max retries"
     assert bool(proof.b_pp_ok), "b'' constant-term self-check failed"
     if args.verbose:

@@ -122,24 +122,14 @@ def _jl_with_retries(key: jax.Array, witness_flat: jax.Array,
     return pi, proj, ok
 
 
-def prove_impl(params: LabradorParams, witness: jax.Array, state: State,
-               crs, oracle,
-               decomp_mode: str = "reference",
-               kernel_backend: str = "xla",
-               ctx: protocol.AxisCtx | None = None) -> Transcript:
-    """Proof generation (unjitted core — compose with vmap/shard_map; use
-    ``prove``/``prove_fs`` for the jitted entry points).  `crs` is a CRS
-    pytree (traced key, static params) so compiled programs are reused
-    across seeds; `oracle` supplies challenges (oracle.py) and absorbs the
-    protocol messages in order for the Fiat-Shamir mode.
-
-    ``ctx`` (protocol.AxisCtx) runs the kappa-heavy phases — Ajtai, u1, u2 —
-    sharded over a mesh axis: THE single protocol implementation serves
-    single-chip, vmapped-batch, and multi-chip execution (the sharded
-    prover in parallel/sharded.py is prove_impl under shard_map, not a
-    fork).  Everything not kappa-sized is computed replicated per device —
-    identical inputs + explicit keys make the replicas bit-identical."""
-    ost = oracle.init()
+def prove_phase1(params: LabradorParams, witness: jax.Array, state: State,
+                 crs, oracle, ost,
+                 decomp_mode: str = "reference",
+                 kernel_backend: str = "xla",
+                 ctx: protocol.AxisCtx | None = None):
+    """Protocol steps 1-3 (the kappa-heavy commitment phase): Ajtai t,
+    Gram g, outer commitment u1.  Returns (ost, carry dict) — the carry is
+    a plain pytree, so it is also the phase-checkpoint payload."""
     p = params
     plan = ntt_ops.plan_for(p)
     s_hat = ntt_ops.ntt_fwd(witness, plan)                # (P, r, n, d)
@@ -157,6 +147,18 @@ def prove_impl(params: LabradorParams, witness: jax.Array, state: State,
     t_dig = protocol.decompose_t(t, p, decomp_mode)       # (t1, r, kappa, d)
     g_dig = protocol.decompose_g(g, p, decomp_mode)       # (t2, r, r, d)
     u_1 = protocol.u1_from_digits(crs, t_dig, g_dig, p, plan, ctx=ctx)
+    return ost, dict(t=t, g=g, u_1=u_1)
+
+
+def prove_phase2(params: LabradorParams, witness: jax.Array, state: State,
+                 crs, oracle, ost, ph1: dict,
+                 decomp_mode: str = "reference",
+                 ctx: protocol.AxisCtx | None = None):
+    """Protocol steps 4-8: JL projection, both aggregations, h, u2."""
+    p = params
+    plan = ntt_ops.plan_for(p)
+    s_hat = ntt_ops.ntt_fwd(witness, plan)
+    g, u_1 = ph1["g"], ph1["u_1"]
 
     # -- step 4: JL projection with retries (proofgen.rs:161-186)
     ost = oracle.absorb(ost, DOM_U1, jax.tree.leaves(u_1))
@@ -228,9 +230,18 @@ def prove_impl(params: LabradorParams, witness: jax.Array, state: State,
     # -- step 8: outer commitment u2 (proofgen.rs:364-378)
     h_dig = protocol.decompose_h(h, p, decomp_mode)
     u_2 = protocol.u2_from_digits(crs, h_dig, p, plan, ctx=ctx)
+    return ost, dict(pi=pi, projection=projection, psi=psi, omega=omega,
+                     b_prime_prime=b_pp, alpha=alpha, beta=beta, u_2=u_2,
+                     jl_ok=jl_ok, b_pp_ok=b_pp_ok, h=h)
 
-    # -- step 9: amortized opening (proofgen.rs:380-399)
-    ost = oracle.absorb(ost, DOM_U2, jax.tree.leaves(u_2))
+
+def prove_phase3(params: LabradorParams, witness: jax.Array,
+                 oracle, ost, ph2: dict):
+    """Protocol step 9: amortized opening z = sum_i c_i s_i."""
+    p = params
+    plan = ntt_ops.plan_for(p)
+    s_hat = ntt_ops.ntt_fwd(witness, plan)
+    ost = oracle.absorb(ost, DOM_U2, jax.tree.leaves(ph2["u_2"]))
     c = jnp.stack([sampling.sample_challenge(
         oracle.challenge_key(ost, TAG_CHALLENGE, i), p) for i in range(p.r)])
     c_hat = ntt_ops.ntt_fwd(c, plan)                              # (P, r, d)
@@ -239,12 +250,39 @@ def prove_impl(params: LabradorParams, witness: jax.Array, state: State,
         prod = mod_pos(c_hat[pi_][:, None, :] * s_hat[pi_], pr)   # (r, n, d)
         z_hat_terms.append(ntt_ops._mod_sum(prod, pr, axis=0))
     z = ntt_ops.ntt_inv_modq(jnp.stack(z_hat_terms), plan)        # (n, d)
+    return dict(c=c, z=z)
 
-    return Transcript(
-        u_1=u_1, pi=pi, projection=projection, psi=psi, omega=omega,
-        b_prime_prime=b_pp, alpha=alpha, beta=beta, u_2=u_2, c=c, z=z,
-        t=t, g=g, h=h, jl_ok=jl_ok, b_pp_ok=b_pp_ok,
-    )
+
+def prove_impl(params: LabradorParams, witness: jax.Array, state: State,
+               crs, oracle,
+               decomp_mode: str = "reference",
+               kernel_backend: str = "xla",
+               ctx: protocol.AxisCtx | None = None) -> Transcript:
+    """Proof generation (unjitted core — compose with vmap/shard_map; use
+    ``prove``/``prove_fs`` for the jitted entry points).  `crs` is a CRS
+    pytree (traced key, static params) so compiled programs are reused
+    across seeds; `oracle` supplies challenges (oracle.py) and absorbs the
+    protocol messages in order for the Fiat-Shamir mode.
+
+    ``ctx`` (protocol.AxisCtx) runs the kappa-heavy phases — Ajtai, u1, u2 —
+    sharded over a mesh axis: THE single protocol implementation serves
+    single-chip, vmapped-batch, and multi-chip execution (the sharded
+    prover in parallel/sharded.py is prove_impl under shard_map, not a
+    fork).  Everything not kappa-sized is computed replicated per device —
+    identical inputs + explicit keys make the replicas bit-identical.
+
+    The body is the composition of three pure phase functions
+    (prove_phase1/2/3) with an explicit carried oracle state — the same
+    functions the checkpointed/profiled runner (``prove_checkpointed``)
+    dispatches separately, so there is no phase-split fork either."""
+    ost = oracle.init()
+    ost, ph1 = prove_phase1(params, witness, state, crs, oracle, ost,
+                            decomp_mode, kernel_backend, ctx)
+    ost, ph2 = prove_phase2(params, witness, state, crs, oracle, ost, ph1,
+                            decomp_mode, ctx)
+    ph3 = prove_phase3(params, witness, oracle, ost, ph2)
+    return Transcript(t=ph1["t"], g=ph1["g"], u_1=ph1["u_1"],
+                      **ph2, **ph3)
 
 
 @partial(jax.jit, static_argnames=("params", "decomp_mode", "kernel_backend"))
@@ -267,3 +305,85 @@ def prove_fs(params: LabradorParams, witness: jax.Array, state: State,
     reference's unfinished roadmap item (README.md:12)."""
     return prove_impl(params, witness, state, crs,
                       FiatShamirOracle.create(crs.key), decomp_mode)
+
+
+@partial(jax.jit, static_argnames=("params", "decomp_mode"))
+def _jit_phase1(params, witness, state, crs, oracle, ost, decomp_mode):
+    return prove_phase1(params, witness, state, crs, oracle, ost,
+                        decomp_mode)
+
+
+@partial(jax.jit, static_argnames=("params", "decomp_mode"))
+def _jit_phase2(params, witness, state, crs, oracle, ost, ph1, decomp_mode):
+    return prove_phase2(params, witness, state, crs, oracle, ost, ph1,
+                        decomp_mode)
+
+
+@partial(jax.jit, static_argnames=("params",))
+def _jit_phase3(params, witness, oracle, ost, ph2):
+    return prove_phase3(params, witness, oracle, ost, ph2)
+
+
+def prove_checkpointed(params: LabradorParams, witness: jax.Array,
+                       state: State, crs, verifier_key: jax.Array,
+                       ckpt_path: str | None = None,
+                       decomp_mode: str = "reference",
+                       timer=None) -> Transcript:
+    """Phase-dispatched proving: the SAME prove_phase1/2/3 functions as
+    ``prove``, but jitted and executed one phase at a time so that
+
+      * ``ckpt_path`` persists each completed phase's carry pytree — a
+        preempted large-witness job (BASELINE config 4) resumes at the last
+        phase boundary instead of re-proving from scratch (SURVEY.md §5.4);
+      * ``timer`` (utils.profiling.PhaseTimer) records real per-phase
+        device times (SURVEY.md §5.1), since each phase is its own dispatch.
+
+    Bit-identical to ``prove`` — the phases ARE the prover.
+    """
+    from .utils import checkpoint
+    from .utils.profiling import PhaseTimer
+    p = params
+    oracle = InteractiveOracle(vkey=verifier_key)
+    timer = timer if timer is not None else PhaseTimer()
+    ost = oracle.init()
+
+    ph1 = ph2 = None
+    done = 0
+    if ckpt_path and checkpoint.exists(ckpt_path):
+        meta = checkpoint.load_meta(ckpt_path)
+        done = int(meta.get("phases_done", 0))
+        tmpl1 = jax.eval_shape(lambda: prove_phase1(
+            p, witness, state, crs, oracle, ost, decomp_mode)[1])
+        tmpl1 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), tmpl1)
+        if done >= 1:
+            loaded = checkpoint.load(ckpt_path, ost=ost, ph1=tmpl1)
+            ost, ph1 = loaded["ost"], loaded["ph1"]
+        if done >= 2:
+            tmpl2 = jax.eval_shape(lambda: prove_phase2(
+                p, witness, state, crs, oracle, ost, tmpl1, decomp_mode)[1])
+            tmpl2 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype),
+                                 tmpl2)
+            loaded = checkpoint.load(ckpt_path, ost=ost, ph1=tmpl1,
+                                     ph2=tmpl2)
+            ost, ph1, ph2 = loaded["ost"], loaded["ph1"], loaded["ph2"]
+
+    if done < 1:
+        with timer.phase("p1_commitments"):
+            ost, ph1 = _jit_phase1(p, witness, state, crs, oracle, ost,
+                                   decomp_mode)
+            jax.block_until_ready(ph1)
+        if ckpt_path:
+            checkpoint.save(ckpt_path, meta=dict(phases_done=1),
+                            ost=ost, ph1=ph1)
+    if done < 2:
+        with timer.phase("p2_jl_aggregation_u2"):
+            ost, ph2 = _jit_phase2(p, witness, state, crs, oracle, ost, ph1,
+                                   decomp_mode)
+            jax.block_until_ready(ph2)
+        if ckpt_path:
+            checkpoint.save(ckpt_path, meta=dict(phases_done=2),
+                            ost=ost, ph1=ph1, ph2=ph2)
+    with timer.phase("p3_opening"):
+        ph3 = _jit_phase3(p, witness, oracle, ost, ph2)
+        jax.block_until_ready(ph3)
+    return Transcript(t=ph1["t"], g=ph1["g"], u_1=ph1["u_1"], **ph2, **ph3)

@@ -15,9 +15,14 @@ import jax
 import numpy as np
 
 
-def save(path: str, **pytrees) -> None:
-    """save('ckpt.npz', witness=w, t=t, u_1=u1, ...)"""
+def save(path: str, meta: dict | None = None, **pytrees) -> None:
+    """save('ckpt.npz', meta={'phases_done': 1}, witness=w, t=t, ...)
+    ``meta`` is a small JSON dict (progress markers for resume)."""
     flat = {}
+    if meta is not None:
+        import json
+        flat["__meta__"] = np.frombuffer(
+            json.dumps(meta).encode(), dtype=np.uint8)
     for name, tree in pytrees.items():
         leaves, treedef = jax.tree.flatten(tree)
         flat[f"__treedef__{name}"] = np.frombuffer(
@@ -42,6 +47,14 @@ def load(path: str, **templates):
                         for i in range(len(leaves))]
             out[name] = jax.tree.unflatten(treedef, restored)
     return out
+
+
+def load_meta(path: str) -> dict:
+    import json
+    with np.load(path) as z:
+        if "__meta__" not in z:
+            return {}
+        return json.loads(z["__meta__"].tobytes().decode())
 
 
 def exists(path: str) -> bool:
