@@ -246,6 +246,37 @@ class LabradorParams:
             (float(r) ** 2 + float(r)) / 2.0
         ) * float(d)
         beta_prime = (2.0 / float(b) ** 2) * gamma + gamma_1 + gamma_2
+        if self.exact_digits:
+            # Exact-mode beta'^2: a digit-norm budget every honest
+            # transcript satisfies with overwhelming probability, unlike
+            # the reference's expectation-level b^2 t/12 estimate
+            # (constants.rs:250-253) which honest uniform digits only meet
+            # with ~1/2 probability (the digit-square sum concentrates AT
+            # that estimate, not below it).  Per digit position we budget
+            # min(E[d^2 | uniform], cap^2) where cap is the position's
+            # attainable maximum (|digit| <= b//2 by construction, and top
+            # positions of a centered value are range-limited), then apply
+            # a 4/3 slack — ~80 sigma for the >=10^4-digit streams here,
+            # while staying well under the 3x-looser pure worst case.
+            # Digit populations (protocol.decompose_*, exact mode):
+            #   z: ceil_log_b(q) digits base b over (n, d)
+            #   t: t_1 digits base b_1 over (r, kappa, d)
+            #   g: t_2 digits base b_2 over tri(r) * d
+            #   h: t_1 digits base b_1 over tri(r) * d
+            # (In exact mode Check 14 ALSO enforces ||z||^2 <= 2*gamma
+            # directly — the paper's real extraction norm bound, which the
+            # digit bound alone cannot express; see verifier.check14.)
+            tri = r * (r + 1) // 2
+            nz = _ceil_log(q, b)
+            budget = (
+                _digit_budget_sq(q, b, nz, n * d)
+                + _digit_budget_sq(q, b_1, t_1, r * kappa * d)
+                + _digit_budget_sq(q, b_2, t_2, tri * d)
+                + _digit_budget_sq(q, b_1, t_1, tri * d)
+            )
+            bp_int = int(math.ceil(budget * 4.0 / 3.0))
+            assert bp_int < 2**53, "beta'^2 exceeds f64 integer range"
+            beta_prime = float(bp_int)
         object.__setattr__(self, "gamma", gamma)
         object.__setattr__(self, "gamma_1", gamma_1)
         object.__setattr__(self, "gamma_2", gamma_2)
@@ -280,6 +311,28 @@ class LabradorParams:
             f"kappa={self.kappa}, beta'^2={self.beta_prime:.1f}, "
             f"crt_primes={self.crt_primes})"
         )
+
+
+def _digit_budget_sq(q: int, base: int, ndig: int, count: int) -> float:
+    """Expected squared-norm budget for `count` values' balanced base-`base`
+    digit streams of length `ndig` (values centered mod q).
+
+    Per position k the budget is count * min(E[d^2] for a uniform residue,
+    cap_k^2) where cap_k is the attainable digit maximum at that position:
+    |d| <= base//2 always, and the running quotient of a value started in
+    [-q/2, q/2] shrinks as m_{k+1} = (m_k + base//2) // base, so top
+    positions contribute (almost) nothing.  Upper-bounds the honest
+    expectation for every input distribution that is uniform-or-smaller
+    per position (uniform mod q, inner products that wrap, small values)."""
+    b = int(base)
+    e_uniform = sum((v if v <= b // 2 else v - b) ** 2 for v in range(b)) / b
+    m = q // 2
+    total = 0.0
+    for _ in range(int(ndig)):
+        cap = min(b // 2, m)
+        total += count * min(e_uniform, float(cap * cap))
+        m = (m + b // 2) // b
+    return total
 
 
 def _ceil_log(q: int, b: int) -> int:

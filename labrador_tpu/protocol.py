@@ -13,7 +13,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .params import LabradorParams
+from .params import LabradorParams, _ceil_log
 from .ops import ntt as ntt_ops
 from .ops import rq as rq_ops
 from .ops import zq as zq_ops
@@ -194,6 +194,23 @@ def b_pp_expected_const(omega_k, psi_k, projection, b_prime, q: int,
 # Second aggregation (proofgen.rs:295-314 / verification.rs:96-148)
 # ---------------------------------------------------------------------------
 
+def phi_weighted_hat(w_hat: jax.Array, phi_hat: jax.Array, plan) -> jax.Array:
+    """sum_k w_k * phi_k (ring mults) in eval domain.
+
+    w_hat: (P, K, d) weights; phi_hat: (P, K, ..., d)  ->  (P, ..., d).
+    The shared core of both second-aggregation terms; also used standalone
+    by the structured recursion state (recursion.FoldedState), whose
+    alpha-term streams from the CRS and only the beta-term is dense."""
+    outs = []
+    for pi_, p in enumerate(plan.primes):
+        extra = phi_hat[pi_].ndim - 2
+        wb = w_hat[pi_].reshape(
+            (w_hat[pi_].shape[0],) + (1,) * extra + (w_hat[pi_].shape[-1],))
+        outs.append(ntt_ops._mod_sum(mod_pos(wb * phi_hat[pi_], p),
+                                     p, axis=0))
+    return jnp.stack(outs)
+
+
 def phi_final_hat(alpha_hat: jax.Array, beta_hat: jax.Array,
                   phi_hat: jax.Array, phi_pp_hat: jax.Array, plan) -> jax.Array:
     """phi_i = sum_k alpha_k phi_k,i + sum_k beta_k phi''_k,i (ring mults).
@@ -201,16 +218,9 @@ def phi_final_hat(alpha_hat: jax.Array, beta_hat: jax.Array,
     alpha_hat: (P, K, d); beta_hat: (P, ub, d); phi_hat: (P, K, r, n, d);
     phi_pp_hat: (P, ub, r, n, d)  ->  (P, r, n, d) eval domain.
     """
-    outs = []
-    for pi_, p in enumerate(plan.primes):
-        t1 = ntt_ops._mod_sum(
-            mod_pos(alpha_hat[pi_][:, None, None, :] * phi_hat[pi_], p),
-            p, axis=0)
-        t2 = ntt_ops._mod_sum(
-            mod_pos(beta_hat[pi_][:, None, None, :] * phi_pp_hat[pi_], p),
-            p, axis=0)
-        outs.append(mod_pos(t1 + t2, p))
-    return jnp.stack(outs)
+    t1 = phi_weighted_hat(alpha_hat, phi_hat, plan)
+    t2 = phi_weighted_hat(beta_hat, phi_pp_hat, plan)
+    return _eval_add(t1, t2, plan)
 
 
 def a_final_hat(alpha_hat: jax.Array, beta_hat: jax.Array,
@@ -456,21 +466,25 @@ U1_COL_TILE = 512
 
 def ajtai_commit(crs, s_hat: jax.Array, params: LabradorParams,
                  plan, use_pallas: bool = False,
-                 ctx: AxisCtx | None = None) -> jax.Array:
+                 ctx: AxisCtx | None = None,
+                 s_coeff: jax.Array | None = None) -> jax.Array:
     """t_i = A s_i for all i: (P, r, n, d) witness -> (r, kappa, d) coeff.
     Row-tiled when kappa is large: A tiles are PRG-expanded, transformed,
     multiplied, and discarded inside a scan.  (proofgen.rs:41-49)
 
     use_pallas=True runs the fully fused Pallas kernel (ops/ajtai_pallas):
-    PRG + NTT + contraction + Garner in one VMEM-resident pass —
-    bit-identical output.
+    PRG + circulant MXU matmul in one VMEM-resident pass — bit-identical
+    output.  It consumes the coefficient-domain witness (``s_coeff``,
+    derived from s_hat if not supplied).
 
     With ``ctx``: row-sharded — each device expands only its own kappa-row
     block of A, computes its slice of t, and an all_gather over ``ctx.axis``
     assembles the transcript tensor."""
     if use_pallas:
         from .ops.ajtai_pallas import ajtai_commit_pallas
-        return ajtai_commit_pallas(crs.key, s_hat, params, plan)
+        if s_coeff is None:
+            s_coeff = ntt_ops.ntt_inv_modq(s_hat, plan)
+        return ajtai_commit_pallas(crs.key, s_coeff, params, plan)
     p = params
     st = jnp.swapaxes(s_hat, -3, -2)                       # (P, n, r, d)
 
@@ -542,6 +556,14 @@ def decompose_h(h: jax.Array, params: LabradorParams, mode: str) -> jax.Array:
 
 
 def decompose_z(z: jax.Array, params: LabradorParams, mode: str,
-                ndig: int = 2) -> jax.Array:
-    """Verifier line 10 (z = z^(0) + z^(1) b, verification.rs:183-185)."""
+                ndig: int = 0) -> jax.Array:
+    """Verifier line 10 (z = z^(0) + z^(1) b, verification.rs:183-185).
+
+    mode='reference' keeps the reference's fixed 2-digit truncation; in
+    exact mode the digit count is ceil_log_b(q) so the stream reconstructs
+    z exactly — the same z digits the recursion folds into the next
+    witness (recursion.build_witness), and the count params._digit_budget
+    assumes for Check 14."""
+    if ndig == 0:
+        ndig = 2 if mode == "reference" else _ceil_log(params.q, params.b)
     return _decompose_protocol(z, params.b, ndig, params.q, mode)

@@ -29,6 +29,65 @@ from .prover import (TAG_JL, TAG_PSI, TAG_OMEGA, TAG_ALPHA, TAG_BETA,
 from .structs import State, Transcript
 
 
+def check14_norm_bound(p: LabradorParams, z, z_dig, t_dig, g_dig, h_dig,
+                       norm_mode: str = "exact") -> jax.Array:
+    """Check 14 (verification.rs:231-267): sum of squared digit norms
+    <= beta'^2, plus — in exact mode — the amortized opening's own norm
+    bound ||z||^2 <= 2*gamma (= 2*tau*beta^2).
+
+    The z-norm conjunct is the paper's actual extraction bound: digit
+    magnitudes are <= b//2 by construction, so a digit-norm bound alone
+    can never constrain ||z|| (the quantity Module-SIS extraction needs
+    short).  The reference folds z's 2-digit truncation into the digit sum
+    instead, which bounds nothing about z; exact mode checks both.  The
+    factor 2 over the expectation E||z||^2 = tau*||s||^2 <= gamma is ~8
+    sigma at n*d >= 128 coefficients — honest proofs pass deterministically
+    in practice, and a per-entry precheck keeps the u64 accumulation exact
+    against adversarial wrap (same pattern as fs_jl_norm).
+
+    Norms are over the *centered* digit values: identical to the reference
+    for its always-nonneg-small centered_rep digits, and the only sensible
+    semantics for exact-mode balanced digits (negatives stored as q-|v|).
+    Big-q digits are already signed (the small-tensor convention).
+
+    norm_mode='exact' accumulates in emulated u64 (always exact);
+    norm_mode='f64_reference' reproduces the reference's float-accumulation
+    bug class (util.rs:196-201 casts integer sums to floats; on TPU the
+    float path is f32, where the precision loss the reference's README.md:10
+    admits to at large q is directly demonstrable — see
+    tests/test_bigq_pipeline.py divergence test)."""
+    def _c(digs):
+        if zq_ops.is_big(p.q):
+            return digs
+        return jnp.where(digs > p.q // 2, digs - p.q, digs)
+
+    if norm_mode == "exact":
+        total = u64_sum(jnp.concatenate([
+            (_c(z_dig) ** 2).reshape(-1),
+            (_c(t_dig) ** 2).reshape(-1),
+            (_c(g_dig) ** 2).reshape(-1),
+            (_c(h_dig) ** 2).reshape(-1),
+        ]))
+        ok = u64_leq_const(total, int(p.beta_prime))
+        if p.exact_digits:
+            z_c = zq_ops.to_signed_small(z, p.q) if zq_ops.is_big(p.q) \
+                else jnp.where(z > p.q // 2, z - p.q, z)
+            gamma_z = 2 * int(p.gamma)
+            entry_max = math.isqrt(gamma_z)
+            entries_ok = jnp.all(
+                jnp.abs(z_c) <= jnp.int32(min(entry_max, 2**31 - 1)))
+            from .ops.modmath import sum_sq_u64
+            ok = ok & entries_ok & u64_leq_const(sum_sq_u64(z_c), gamma_z)
+        return ok
+    elif norm_mode == "f64_reference":
+        def fsum(digs):
+            per = jnp.sum((_c(digs) ** 2).astype(jnp.float32), axis=-1)
+            return jnp.sum(per)
+        total_f = fsum(z_dig) + fsum(t_dig) + fsum(g_dig) + fsum(h_dig)
+        return total_f <= jnp.float32(p.beta_prime)
+    raise ValueError(f"unknown norm_mode {norm_mode!r}")
+
+
 @partial(jax.jit, static_argnames=("params", "decomp_mode", "norm_mode",
                                    "ctx"))
 def verify_report(params: LabradorParams, state: State, proof: Transcript,
@@ -66,20 +125,32 @@ def verify_report_impl(params: LabradorParams, state: State,
     beta_hat = ntt_ops.ntt_fwd(proof.beta, plan)
     a_pp_hat = ntt_ops.ntt_fwd(a_pp, plan)
     phi_pp_hat = ntt_ops.ntt_fwd(phi_pp, plan)
-    a_hat = ntt_ops.ntt_fwd(state.a_k, plan)
-    phi_hat = ntt_ops.ntt_fwd(state.phi_k, plan)
     b_hat = ntt_ops.ntt_fwd(state.b_k, plan)
     b_pp_hat = ntt_ops.ntt_fwd(proof.b_prime_prime, plan)
 
     # CRT-range invariant: reduce mod q between ring-multiplication levels,
     # so every eval-domain factor below is the NTT of a reduced tensor.
-    a_fin = ntt_ops.ntt_inv_modq(
-        protocol.a_final_hat(alpha_hat, beta_hat, a_hat, a_pp_hat, plan),
-        plan)                                              # (r, r, d)
+    if hasattr(state, "phi_alpha_modq"):
+        # structured recursion state (recursion.FoldedState): stream the
+        # k'-sized alpha-contractions from the base CRS instead of
+        # NTT-ing a dense (K, r, n, d) phi tensor.
+        a_beta = ntt_ops.ntt_inv_modq(
+            protocol.phi_weighted_hat(beta_hat, a_pp_hat, plan), plan)
+        a_fin = zq_ops.add(state.a_alpha_modq(proof.alpha), a_beta, p.q)
+        phi_beta = ntt_ops.ntt_inv_modq(
+            protocol.phi_weighted_hat(beta_hat, phi_pp_hat, plan), plan)
+        phi_fin = zq_ops.add(state.phi_alpha_modq(proof.alpha), phi_beta,
+                             p.q)
+    else:
+        a_hat = ntt_ops.ntt_fwd(state.a_k, plan)
+        phi_hat = ntt_ops.ntt_fwd(state.phi_k, plan)
+        a_fin = ntt_ops.ntt_inv_modq(
+            protocol.a_final_hat(alpha_hat, beta_hat, a_hat, a_pp_hat,
+                                 plan), plan)              # (r, r, d)
+        phi_fin = ntt_ops.ntt_inv_modq(
+            protocol.phi_final_hat(alpha_hat, beta_hat, phi_hat, phi_pp_hat,
+                                   plan), plan)            # (r, n, d)
     a_fin_hat = ntt_ops.ntt_fwd(a_fin, plan)
-    phi_fin = ntt_ops.ntt_inv_modq(
-        protocol.phi_final_hat(alpha_hat, beta_hat, phi_hat, phi_pp_hat,
-                               plan), plan)                # (r, n, d)
     phi_fin_hat = ntt_ops.ntt_fwd(phi_fin, plan)
     b = protocol.b_final(alpha_hat, beta_hat, b_hat, b_pp_hat, plan)  # (d,)
 
@@ -96,33 +167,8 @@ def verify_report_impl(params: LabradorParams, state: State,
     h_dig = protocol.decompose_h(proof.h, p, decomp_mode)
 
     # ---- check 14: digit norm bound (verification.rs:231-267).
-    # Norms are over the *centered* digit values: identical to the reference
-    # for its always-nonneg-small centered_rep digits, and the only sensible
-    # semantics for exact-mode balanced digits (negatives stored as q-|v|).
-    # Big-q digits are already signed (the small-tensor convention).
-    def _c(digs):
-        if zq_ops.is_big(p.q):
-            return digs
-        return jnp.where(digs > p.q // 2, digs - p.q, digs)
-
-    if norm_mode == "exact":
-        total = u64_sum(jnp.concatenate([
-            (_c(z_dig) ** 2).reshape(-1),
-            (_c(t_dig) ** 2).reshape(-1),
-            (_c(g_dig) ** 2).reshape(-1),
-            (_c(h_dig) ** 2).reshape(-1),
-        ]))
-        checks["c14_norm_bound"] = u64_leq_const(total, int(p.beta_prime))
-    elif norm_mode == "f64_reference":
-        # reference-faithful: per-poly integer sums cast to f32/f64 then
-        # float-accumulated — reproduces the documented precision bug class
-        def fsum(digs):
-            per = jnp.sum((_c(digs) ** 2).astype(jnp.float32), axis=-1)
-            return jnp.sum(per)
-        total_f = fsum(z_dig) + fsum(t_dig) + fsum(g_dig) + fsum(h_dig)
-        checks["c14_norm_bound"] = total_f <= jnp.float32(p.beta_prime)
-    else:
-        raise ValueError(f"unknown norm_mode {norm_mode!r}")
+    checks["c14_norm_bound"] = check14_norm_bound(
+        p, proof.z, z_dig, t_dig, g_dig, h_dig, norm_mode)
 
     # ---- check 15: A z == sum_i c_i t_i (verification.rs:274-296)
     # (A re-expanded from the CRS, row-tiled for large kappa — same

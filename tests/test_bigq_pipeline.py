@@ -96,6 +96,89 @@ def test_bigq_transcript_roundtrip(tmp_path, big_setup):
     assert size > 0
 
 
+def _four_squares(n: int) -> list[int]:
+    """Any n >= 0 as a sum of four squares (Lagrange), values <= isqrt(n)."""
+    import math
+    a = math.isqrt(n)
+    while a >= 0:
+        r1 = n - a * a
+        b = math.isqrt(r1)
+        while b >= 0:
+            r2 = r1 - b * b
+            c = math.isqrt(r2)
+            while c >= 0:
+                r3 = r2 - c * c
+                dd = math.isqrt(r3)
+                if dd * dd == r3:
+                    return [a, b, c, dd]
+                c -= 1
+            b -= 1
+        a -= 1
+    raise AssertionError("unreachable (Lagrange)")
+
+
+def _craft_t_with_digit_total(p, target: int) -> np.ndarray:
+    """t values (r, kappa, d) int64 whose exact balanced-digit squared sum
+    is EXACTLY `target`: only the first 3 digit positions are used (values
+    stay < q/2, so decompose_balanced_big returns the intended digits)."""
+    n_entries = p.r * p.kappa * p.d
+    slots = np.zeros((n_entries * 3,), np.int64)
+    half = p.b_1 // 2
+    rem = target
+    i = 0
+    while rem >= half * half and i < len(slots) - 4:
+        slots[i] = half
+        rem -= half * half
+        i += 1
+    assert i < len(slots) - 4, "target exceeds craftable digit budget"
+    for v in _four_squares(rem):
+        slots[i] = v
+        i += 1
+    digs = slots.reshape(n_entries, 3)
+    vals = (digs[:, 0] + digs[:, 1] * p.b_1 + digs[:, 2] * p.b_1 ** 2)
+    assert vals.max() < p.q // 2
+    return vals.reshape(p.r, p.kappa, p.d)
+
+
+def test_c14_float_mode_diverges_at_big_q(big_setup):
+    """VERDICT #8: demonstrate the reference's float-accumulated Check 14
+    bug class (README.md:10, observed failing in its own checked-in log at
+    tests/res:59) at the 2^32-scale modulus: a crafted transcript whose
+    exact digit-norm total exceeds beta'^2 (exact mode rejects) is ACCEPTED
+    by the float-accumulation mode — at totals ~1.6e10 the f32 path's
+    granularity is ~1024, so an over-budget stream rounds under the bound.
+    The exact-integer mode is the fix."""
+    from labrador_tpu import protocol
+    from labrador_tpu.verifier import check14_norm_bound
+    p, w, state, crs, kv, proof = big_setup
+    bound = int(p.beta_prime)
+
+    z_dig = protocol.decompose_z(proof.z, p, "exact")
+    g_dig = protocol.decompose_g(proof.g, p, "exact")
+    h_dig = protocol.decompose_h(proof.h, p, "exact")
+    rest = int(sum((np.asarray(d, np.int64) ** 2).sum()
+                   for d in (z_dig, g_dig, h_dig)))
+
+    found = None
+    for delta in range(1, 200_002, 500):
+        t_vals = _craft_t_with_digit_total(p, bound + delta - rest)
+        t_dig = protocol.decompose_t(zq.from_py(t_vals, p.q), p, "exact")
+        exact_ok = bool(np.asarray(check14_norm_bound(
+            p, proof.z, z_dig, t_dig, g_dig, h_dig, "exact")))
+        assert not exact_ok, f"exact mode must reject (delta={delta})"
+        f_ok = bool(np.asarray(check14_norm_bound(
+            p, proof.z, z_dig, t_dig, g_dig, h_dig, "f64_reference")))
+        if f_ok:
+            found = delta
+            break
+    assert found is not None, \
+        "float-mode accepted none of the over-budget streams"
+    # and the honest proof passes BOTH modes (the divergence needs crafting)
+    t_dig_honest = protocol.decompose_t(proof.t, p, "exact")
+    assert bool(np.asarray(check14_norm_bound(
+        p, proof.z, z_dig, t_dig_honest, g_dig, h_dig, "exact")))
+
+
 def test_fs_jl_norm_wrap_rejected(big_setup):
     """Adversarial projection whose sum of squares wraps mod 2^64: 256
     entries of 2^28 give a true sum of exactly 2^64 (== 0 wrapped), which
