@@ -143,11 +143,10 @@ def main(argv=None) -> int:
     if args.recursion:
         from . import recursion
         if args.verbose:
-            print("Folding proof into a recursive instance..")
+            print("Folding proof into a recursive instance (structured)..")
         t3 = time.time()
-        p2, w2, s2, layout = recursion.recursive_step(p, state, proof, crs)
-        res2 = int(recursion.relation_residual(s2.a_k, s2.phi_k, s2.b_k,
-                                               w2, p2))
+        p2, w2, s2, layout = recursion.fold(p, state, proof, crs)
+        res2 = int(recursion.folded_residual(s2, w2, p2))
         assert res2 == 0, "folded relation does not hold"
         crs2 = CRS.create(p2, seed=args.seed ^ 0xF01D)
         kv2 = jax.random.fold_in(kv, 1)
@@ -156,14 +155,19 @@ def main(argv=None) -> int:
         assert bool(proof2.jl_ok) and bool(proof2.b_pp_ok)
         rep2 = verifier.verify_report(p2, s2, proof2, crs2,
                                       decomp_mode="exact")
-        structural = all(bool(rep2[k]) for k in rep2
-                         if k.startswith("c") and k != "c14_norm_bound")
-        if not structural:
-            print("Error: recursive proof failed verification")
+        if not bool(rep2["all"]):
+            failed = [k for k, v in rep2.items() if not bool(v)]
+            print(f"Error: recursive proof failed verification: {failed}")
             return 1
         if args.verbose:
+            size2 = structs.transcript_size_in_bytes(
+                jax.device_get(proof2), p2.q)
+            base_size = structs.transcript_size_in_bytes(
+                jax.device_get(proof), p.q)
             print(f"Recursive instance: n'={p2.n} r'={p2.r} "
                   f"k'={p2.k_count} (folded in {time.time()-t3:.2f}s)")
+            print(f"Proof size: base {base_size / 1024:.2f} KB -> "
+                  f"folded {size2 / 1024:.2f} KB")
             print("Success: recursive proof verified!")
     return 0
 

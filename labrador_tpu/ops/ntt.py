@@ -133,7 +133,13 @@ def make_plan(q: int, d: int = 64, max_accum: int = 1 << 20) -> NttPlan:
 
 @lru_cache(maxsize=None)
 def plan_for(params: LabradorParams) -> NttPlan:
-    return make_plan(params.q, params.d, max_accum=max(2 * params.kappa, 1024))
+    # CRT headroom must cover every eval-domain contraction length: the
+    # kappa-sized commitment matmuls AND the k_count-sized family
+    # contractions (b_final sums K = k_count terms; recursion instances
+    # carry k' = kappa + kappa_1 + kappa_2 + 3 families).
+    return make_plan(params.q, params.d,
+                     max_accum=max(2 * params.kappa, 2 * params.k_count,
+                                   1024))
 
 
 # ---------------------------------------------------------------------------

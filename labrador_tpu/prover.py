@@ -137,7 +137,7 @@ def prove_phase1(params: LabradorParams, witness: jax.Array, state: State,
     # -- step 1: inner Ajtai commitments t_i = A s_i (proofgen.rs:41-49)
     t = protocol.ajtai_commit(crs, s_hat, p, plan,
                               use_pallas=(kernel_backend == "pallas"),
-                              ctx=ctx)
+                              ctx=ctx, s_coeff=witness)
 
     # -- step 2: Gram matrix g_ij = <s_i, s_j> (proofgen.rs:59-70)
     g_hat = protocol.gram_hat(s_hat, plan)
@@ -204,11 +204,19 @@ def prove_phase2(params: LabradorParams, witness: jax.Array, state: State,
     beta = sampling.sample_beta(oracle.challenge_key(ost, TAG_BETA), p)
     alpha_hat = ntt_ops.ntt_fwd(alpha, plan)
     beta_hat = ntt_ops.ntt_fwd(beta, plan)
-    phi_hat = ntt_ops.ntt_fwd(state.phi_k, plan)                  # (P,K,r,n,d)
-    phi_fin_hat = protocol.phi_final_hat(alpha_hat, beta_hat,
-                                         phi_hat, phi_pp_hat, plan)
-    # reduce mod q between multiplication levels (CRT-range invariant)
-    phi_fin = ntt_ops.ntt_inv_modq(phi_fin_hat, plan)             # (r, n, d)
+    if hasattr(state, "phi_alpha_modq"):
+        # structured recursion state (recursion.FoldedState): the
+        # K = k'-sized alpha-contraction streams from the base CRS —
+        # the dense (K, r, n, d) phi never exists.
+        pp_term = ntt_ops.ntt_inv_modq(
+            protocol.phi_weighted_hat(beta_hat, phi_pp_hat, plan), plan)
+        phi_fin = zq_ops.add(state.phi_alpha_modq(alpha), pp_term, p.q)
+    else:
+        phi_hat = ntt_ops.ntt_fwd(state.phi_k, plan)              # (P,K,r,n,d)
+        phi_fin_hat = protocol.phi_final_hat(alpha_hat, beta_hat,
+                                             phi_hat, phi_pp_hat, plan)
+        # reduce mod q between multiplication levels (CRT-range invariant)
+        phi_fin = ntt_ops.ntt_inv_modq(phi_fin_hat, plan)         # (r, n, d)
     phi_fin_hat_red = ntt_ops.ntt_fwd(phi_fin, plan)
 
     # -- step 7: h matrix (proofgen.rs:320-358).  MOD_SUSPENSION + Fermat

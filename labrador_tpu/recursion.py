@@ -40,6 +40,7 @@ from dataclasses import dataclass
 import jax
 import jax.numpy as jnp
 import numpy as np
+from flax import struct
 
 from .params import LabradorParams, _ceil_log
 from .ops import ntt as ntt_ops
@@ -165,10 +166,13 @@ def build_witness(layout: RecursionLayout, proof: Transcript) -> jax.Array:
     return flat.reshape(layout.r_new, layout.n_new, d)
 
 
-def _canonical_aggregates(params: LabradorParams, state: State,
+def _canonical_aggregates(params: LabradorParams, state,
                           proof: Transcript):
     """Verifier lines 3-7: canonical a_ij, phi_i, b from the transcript
-    (all reduced mod q) — shared with verifier.verify_report."""
+    (all reduced mod q) — shared with verifier.verify_report.  Accepts a
+    dense ``structs.State`` or a structured ``FoldedState`` (whose
+    alpha-contractions stream from the base CRS — enables multi-level
+    folding without ever materializing a dense relation)."""
     p = params
     plan = ntt_ops.plan_for(p)
     a_prime = zq_ops.index(state.a_prime_k, slice(None, p.l_count))
@@ -179,12 +183,21 @@ def _canonical_aggregates(params: LabradorParams, state: State,
                                        pi_sigma, p, plan)
     alpha_hat = ntt_ops.ntt_fwd(proof.alpha, plan)
     beta_hat = ntt_ops.ntt_fwd(proof.beta, plan)
-    a_fin = ntt_ops.ntt_inv_modq(protocol.a_final_hat(
-        alpha_hat, beta_hat, ntt_ops.ntt_fwd(state.a_k, plan),
-        ntt_ops.ntt_fwd(a_pp, plan), plan), plan)
-    phi_fin = ntt_ops.ntt_inv_modq(protocol.phi_final_hat(
-        alpha_hat, beta_hat, ntt_ops.ntt_fwd(state.phi_k, plan),
-        ntt_ops.ntt_fwd(phi_pp, plan), plan), plan)
+    if hasattr(state, "phi_alpha_modq"):
+        a_beta = ntt_ops.ntt_inv_modq(protocol.phi_weighted_hat(
+            beta_hat, ntt_ops.ntt_fwd(a_pp, plan), plan), plan)
+        a_fin = zq_ops.add(state.a_alpha_modq(proof.alpha), a_beta, p.q)
+        phi_beta = ntt_ops.ntt_inv_modq(protocol.phi_weighted_hat(
+            beta_hat, ntt_ops.ntt_fwd(phi_pp, plan), plan), plan)
+        phi_fin = zq_ops.add(state.phi_alpha_modq(proof.alpha), phi_beta,
+                             p.q)
+    else:
+        a_fin = ntt_ops.ntt_inv_modq(protocol.a_final_hat(
+            alpha_hat, beta_hat, ntt_ops.ntt_fwd(state.a_k, plan),
+            ntt_ops.ntt_fwd(a_pp, plan), plan), plan)
+        phi_fin = ntt_ops.ntt_inv_modq(protocol.phi_final_hat(
+            alpha_hat, beta_hat, ntt_ops.ntt_fwd(state.phi_k, plan),
+            ntt_ops.ntt_fwd(phi_pp, plan), plan), plan)
     b_fin = protocol.b_final(alpha_hat, beta_hat,
                              ntt_ops.ntt_fwd(state.b_k, plan),
                              ntt_ops.ntt_fwd(proof.b_prime_prime, plan), plan)
@@ -394,6 +407,466 @@ def relation_residual(a_k: jax.Array, phi_k: jax.Array, b_k: jax.Array,
     if isinstance(diff, zq_ops.Zq2):
         return jnp.max(jnp.maximum(jnp.abs(diff.hi), jnp.abs(diff.lo)))
     return jnp.max(diff)
+
+
+# ---------------------------------------------------------------------------
+# Structured folded relation: stream the CRS-derived phi blocks instead of
+# materializing the dense (k', M, d) tensor (which is ~kappa x larger than
+# the CRS itself and cannot scale past toy kappa).  The k'-contraction the
+# protocol actually needs — phi_final = sum_k alpha_k phi_k — is computed
+# directly from the base CRS with the same streaming kernels the prover
+# uses, in O(M d) memory.
+# ---------------------------------------------------------------------------
+
+def _scale_modq(x, const: int, plan, q: int):
+    """x * const mod q for canonical tensors (int32 small q / Zq2 big q).
+    Exact: the integer x*const < q^2 << M fits one residue fold."""
+    const = int(const) % q
+    if not zq_ops.is_big(q):
+        return mod_pos(x * const, q)
+    res = zq_ops.to_res(x, plan.primes)
+    outs = [mod_pos(res[pi] * (const % pr), pr)
+            for pi, pr in enumerate(plan.primes)]
+    return zq_ops.fold_res_modq(jnp.stack(outs), plan, signed=False)
+
+
+def _ring_mul_modq(a, b, plan):
+    return ntt_ops.negacyclic_polymul(a, b, plan)
+
+
+def _contract_rows_hat(w_hat: jax.Array, m_hat: jax.Array, plan) -> jax.Array:
+    """sum_rho w[rho] * M[rho, col] in eval domain.
+    w_hat: (P, R, d); m_hat: (P, R, C, d)  ->  (P, C, d)."""
+    out = ntt_ops.eval_matmul(w_hat[:, None, :, :], m_hat, plan)
+    return out[:, 0]
+
+
+def _alpha_contract_a(crs, w_hat: jax.Array, p0: LabradorParams, plan):
+    """sum_rho w_rho * A[rho]  ->  (n, d) mod q, streaming A row tiles."""
+    tile = min(p0.kappa, protocol.AJTAI_ROW_TILE)
+    while p0.kappa % tile:
+        tile -= 1
+    n_tiles = p0.kappa // tile
+    P = len(plan.primes)
+
+    def body(acc, i):
+        a_blk = crs.a_rows_dyn(i * tile, tile)              # (tile, n, d)
+        a_hat = ntt_ops.ntt_fwd(a_blk, plan)
+        w_blk = jax.lax.dynamic_slice_in_dim(w_hat, i * tile, tile, axis=1)
+        return protocol._eval_add(
+            acc, _contract_rows_hat(w_blk, a_hat, plan), plan), None
+
+    acc0 = jnp.zeros((P, p0.n, p0.d), jnp.int32)
+    if n_tiles == 1:
+        acc, _ = body(acc0, jnp.int32(0))
+    else:
+        acc, _ = jax.lax.scan(body, acc0, jnp.arange(n_tiles))
+    return ntt_ops.ntt_inv_modq(acc, plan)
+
+
+def _alpha_contract_b(crs, w_hat: jax.Array, p0: LabradorParams, plan):
+    """S_B[m] = sum_rho w_rho * B_m[rho, col] for all m = i*t_1 + k
+    ->  (r*t_1, kappa, d) mod q, streaming whole-or-column-tiled B blocks."""
+    m_total = p0.r * p0.t_1
+    # column tile so each step's B block stays within the step budget
+    ncb = 1
+    while (p0.kappa // ncb) * p0.kappa_1 * p0.d > protocol.U1_STEP_COEFFS \
+            or p0.kappa % ncb:
+        ncb += 1
+        if ncb > p0.kappa:
+            ncb = p0.kappa
+            break
+    cols = p0.kappa // ncb
+
+    def body(_, s):
+        m = s // ncb
+        cb = s % ncb
+        b_blk = crs.b_mat_dyn(m, col0=cb * cols, ncols=cols)  # (k1, cols, d)
+        b_hat = ntt_ops.ntt_fwd(b_blk, plan)
+        return None, _contract_rows_hat(w_hat, b_hat, plan)   # (P, cols, d)
+
+    _, tiles = jax.lax.scan(body, None, jnp.arange(m_total * ncb))
+    # tiles: (steps, P, cols, d) -> (P, m_total, kappa, d)
+    acc = jnp.moveaxis(tiles, 1, 0).reshape(
+        len(plan.primes), m_total, p0.kappa, p0.d)
+    return zq_ops.reshape(ntt_ops.ntt_inv_modq(acc, plan),
+                          (p0.r, p0.t_1, p0.kappa, p0.d))
+
+
+def _alpha_contract_cd(crs, base: int, w_hat: jax.Array, t_used: int,
+                       p0: LabradorParams, plan):
+    """S[tri, k] = <w, M_{tri,k}> over the kappa_2 rows of the C/D column
+    vectors at offset (k + t_1*tri)*kappa_2*d from `base` (the t_1-stride
+    quirk layout, structs.rs:106)  ->  (n_tri, t_used, d) mod q."""
+    p = p0
+    n_tri = p.r * (p.r + 1) // 2
+    grp = crs._expand_dyn(
+        base, 0, p.t_1 * p.kappa_2 * p.d,
+        (n_tri, t_used, p.kappa_2, p.d),
+        (p.t_1 * p.kappa_2 * p.d, p.kappa_2 * p.d, p.d, 1))
+    m = n_tri * t_used
+    mats_hat = ntt_ops.ntt_fwd(zq_ops.reshape(grp, (m, p.kappa_2, p.d)),
+                               plan)                        # (P, m, k2, d)
+    out = ntt_ops.eval_matmul(mats_hat, w_hat[:, :, None, :], plan)[:, :, 0]
+    return zq_ops.reshape(ntt_ops.ntt_inv_modq(out, plan),
+                          (n_tri, t_used, p.d))
+
+
+@struct.dataclass
+class FoldedState:
+    """The folded principal relation in structured form.
+
+    Drop-in replacement for ``structs.State`` in the prover/verifier: the
+    dense (k', M, d) phi tensor never exists.  Instead the CRS-derived
+    blocks (A/B/C/D — exactly the base instance's commitment matrices) are
+    re-streamed from ``base_crs`` whenever the protocol needs the
+    alpha-contraction sum_k alpha_k phi_k, and the handful of
+    transcript-derived blocks (challenge products, canonical aggregates)
+    are carried as small tensors.  Reference context: ``recursion.rs:13-18``
+    sketches only the sizes; the relation layout is build_relation's,
+    verified block-for-block equivalent in tests/test_recursion.py.
+    """
+
+    base_crs: object            # CRS pytree of the *base* instance
+    c: jax.Array                # (r, d) amortized-opening challenges
+    cc: jax.Array               # (r, r, d) c_i * c_j mod q
+    cphi: jax.Array             # (n, d) sum_i c_i * phi_fin_i mod q
+    a_fin: jax.Array            # (r, r, d) canonical aggregate a
+    phi0: jax.Array             # (1, r', n', d) dense family-0 row (F')
+    b_k: jax.Array              # (k', d) right-hand sides
+    layout: RecursionLayout = struct.field(pytree_node=False)
+
+    # --- State-compatible surface ----------------------------------------
+    @property
+    def q(self) -> int:
+        return self.layout.params.q
+
+    @property
+    def a_prime_k(self):
+        lay = self.layout
+        return zq_ops.zeros((1, lay.r_new, lay.r_new, lay.params.d), self.q)
+
+    @property
+    def phi_prime_k(self):
+        return self.phi0
+
+    @property
+    def b_prime_k(self):
+        # family 0 is a group-A row: b = 0, and F' takes the constant term
+        return zq_ops.index(self.b_k, (slice(0, 1), 0))
+
+    # --- structured contractions ------------------------------------------
+    def _base_plan(self):
+        return ntt_ops.plan_for(self.layout.params)
+
+    def _alpha_split(self, alpha):
+        p0 = self.layout.params
+        k0, k1 = p0.kappa, p0.kappa_1
+        aA = zq_ops.index(alpha, slice(0, k0))
+        aB = zq_ops.index(alpha, slice(k0, k0 + k1))
+        aC = zq_ops.index(alpha, slice(k0 + k1, k0 + k1 + p0.kappa_2))
+        base = k0 + k1 + p0.kappa_2
+        a16 = zq_ops.index(alpha, base)
+        a17 = zq_ops.index(alpha, base + 1)
+        a18 = zq_ops.index(alpha, base + 2)
+        return aA, aB, aC, a16, a17, a18
+
+    def phi_alpha_modq(self, alpha):
+        """sum_k alpha_k phi_k  ->  (r', n', d) canonical mod q.
+
+        Streams the base CRS (one A pass, one B pass, one batched C/D
+        expansion) — the structured replacement for
+        phi_weighted_hat(alpha_hat, ntt_fwd(dense phi)).
+        """
+        lay = self.layout
+        p0 = lay.params
+        q, d = p0.q, p0.d
+        plan = self._base_plan()
+        aA, aB, aC, a16, a17, a18 = self._alpha_split(alpha)
+        aA_hat = ntt_ops.ntt_fwd(aA, plan)
+        aB_hat = ntt_ops.ntt_fwd(aB, plan)
+        aC_hat = ntt_ops.ntt_fwd(aC, plan)
+        c_hat = ntt_ops.ntt_fwd(self.c, plan)
+
+        bpow = [pow(p0.b, k, q) for k in range(lay.nz)]
+        b1pow = [pow(p0.b_1, k, q) for k in range(p0.t_1)]
+        b2pow = [pow(p0.b_2, k, q) for k in range(p0.t_2)]
+
+        flat = zq_ops.zeros((lay.m_total, d), q)
+
+        def setblk(out, sl, val):
+            return zq_ops.tmap(lambda o, v: o.at[sl].set(v), out, val)
+
+        # -- z blocks: bpow_k * (sum_rho aA_rho A[rho]  +  a17 * cphi)
+        s_a = _alpha_contract_a(self.base_crs, aA_hat, p0, plan)   # (n, d)
+        zc = zq_ops.add(s_a, _ring_mul_modq(a17, self.cphi, plan), q)
+        for k in range(lay.nz):
+            pos = lay.z_pos(k, 0)
+            flat = setblk(flat, slice(pos, pos + p0.n),
+                          _scale_modq(zc, bpow[k], plan, q))
+
+        # -- t digit blocks: S_B[i,k2,col]  -  b1pow_k2 * (aA_col * c_i)
+        s_b = _alpha_contract_b(self.base_crs, aB_hat, p0, plan)
+        ac_hat = ntt_ops.eval_mul(aA_hat[:, :, None, :],
+                                  c_hat[:, None, :, :], plan)  # (P,kap,r,d)
+        ac = ntt_ops.ntt_inv_modq(ac_hat, plan)                # (kap, r, d)
+        ac_t = zq_ops.swapaxes(ac, 0, 1)                       # (r, kap, d)
+        t_parts = []
+        for k2 in range(p0.t_1):
+            blk = zq_ops.sub(zq_ops.index(s_b, (slice(None), k2)),
+                             _scale_modq(ac_t, b1pow[k2], plan, q), q)
+            t_parts.append(blk)                                # (r, kap, d)
+        t_blk = zq_ops.swapaxes(zq_ops.stack(t_parts, axis=0), 0, 1)
+        g0 = lay.garbage_pos(0)
+        t_len = p0.r * p0.t_1 * p0.kappa
+        flat = setblk(flat, slice(g0, g0 + t_len),
+                      zq_ops.reshape(t_blk, (t_len, d)))
+
+        # -- g digit blocks: <aB, C_tri,k>
+        #      + (mult*b2pow_k) * (a18*a_fin_ij - a16*cc_ij)
+        s_c = _alpha_contract_cd(self.base_crs, self.base_crs._off_c,
+                                 aB_hat, p0.t_2, p0, plan)
+        g_base = _ring_mul_modq(a18, self.a_fin, plan)         # (r, r, d)
+        g_base = zq_ops.sub(g_base, _ring_mul_modq(a16, self.cc, plan), q)
+        # -- h digit blocks: <aC, D_tri,k> - (mult*b1pow_k) * (a17*cc_ij)
+        #      + (i==j) b1pow_k * a18
+        s_d = _alpha_contract_cd(self.base_crs, self.base_crs._off_d,
+                                 aC_hat, p0.t_1, p0, plan)
+        h_base = zq_ops.sub(zq_ops.zeros((p0.r, p0.r, d), q),
+                            _ring_mul_modq(a17, self.cc, plan), q)
+        tri = 0
+        for i in range(p0.r):
+            for j in range(i, p0.r):
+                mult = 1 if i == j else 2
+                for k in range(p0.t_2):
+                    val = zq_ops.add(
+                        zq_ops.index(s_c, (tri, k)),
+                        _scale_modq(zq_ops.index(g_base, (i, j)),
+                                    mult * b2pow[k], plan, q), q)
+                    flat = setblk(flat, lay.g_pos(i, j, k), val)
+                for k in range(p0.t_1):
+                    val = zq_ops.add(
+                        zq_ops.index(s_d, (tri, k)),
+                        _scale_modq(zq_ops.index(h_base, (i, j)),
+                                    mult * b1pow[k], plan, q), q)
+                    if i == j:
+                        val = zq_ops.add(
+                            val, _scale_modq(a18, b1pow[k], plan, q), q)
+                    flat = setblk(flat, lay.h_pos(i, j, k), val)
+                tri += 1
+        return zq_ops.reshape(flat, (lay.r_new, lay.n_new, d))
+
+    def a_alpha_modq(self, alpha):
+        """sum_k alpha_k a_k  ->  (r', r', d) mod q.  Only the <z,z> family
+        (f16) carries a quadratic part: a[f16][k,k2] = const(b^k b^k2)."""
+        lay = self.layout
+        p0 = lay.params
+        q, d = p0.q, p0.d
+        plan = self._base_plan()
+        _, _, _, a16, _, _ = self._alpha_split(alpha)
+        bpow = [pow(p0.b, k, q) for k in range(lay.nz)]
+        out = zq_ops.zeros((lay.r_new, lay.r_new, d), q)
+        for k in range(lay.nz):
+            for k2 in range(lay.nz):
+                val = _scale_modq(a16, bpow[k] * bpow[k2] % q, plan, q)
+                out = zq_ops.tmap(lambda o, v: o.at[k, k2].set(v), out, val)
+        return out
+
+
+def fold(params: LabradorParams, state, proof: Transcript, crs,
+         mu: int = 0, kappa_new: int = 16):
+    """Structured recursive step (the scalable default): fold a proof into
+    a new LaBRADOR instance WITHOUT materializing the dense relation.
+
+    Returns (params_new, witness_new, FoldedState, layout) — run the
+    standard prover/verifier on the result.  Works when the base `state`
+    is itself a FoldedState (multi-level recursion)."""
+    p = params
+    layout = make_layout(p, mu)
+    witness = build_witness(layout, proof)
+    plan = ntt_ops.plan_for(p)
+    q, d = p.q, p.d
+
+    a_fin, phi_fin, b_fin = _canonical_aggregates(p, state, proof)
+    c = proof.c
+    c_hat = ntt_ops.ntt_fwd(c, plan)
+    cc_hat = ntt_ops.eval_mul(c_hat[:, :, None, :], c_hat[:, None, :, :],
+                              plan)
+    cc = ntt_ops.ntt_inv_modq(cc_hat, plan)                   # (r, r, d)
+    phi_fin_hat = ntt_ops.ntt_fwd(phi_fin, plan)
+    cphi_hat = []
+    for pi_, pr in enumerate(plan.primes):
+        cphi_hat.append(ntt_ops._mod_sum(
+            mod_pos(c_hat[pi_][:, None, :] * phi_fin_hat[pi_], pr),
+            pr, axis=0))
+    cphi = ntt_ops.ntt_inv_modq(jnp.stack(cphi_hat), plan)    # (n, d)
+
+    # dense family-0 row (the single F' family): group-A row rho = 0
+    bpow = [pow(p.b, k, q) for k in range(layout.nz)]
+    b1pow = [pow(p.b_1, k, q) for k in range(p.t_1)]
+    phi0 = zq_ops.zeros((1, layout.r_new, layout.n_new, d), q)
+    a_row0 = zq_ops.index(crs.a_rows(0, 1), 0)                # (n, d)
+    flat0 = zq_ops.zeros((layout.m_total, d), q)
+    for k in range(layout.nz):
+        pos = layout.z_pos(k, 0)
+        flat0 = zq_ops.tmap(
+            lambda o, v: o.at[pos:pos + p.n].set(v), flat0,
+            _scale_modq(a_row0, bpow[k], plan, q))
+    neg_c = zq_ops.sub(zq_ops.zeros((p.r, d), q), c, q)
+    for i in range(p.r):
+        for k2 in range(p.t_1):
+            pos = layout.t_pos(i, k2, 0)
+            flat0 = zq_ops.tmap(
+                lambda o, v: o.at[pos].set(v), flat0,
+                _scale_modq(zq_ops.index(neg_c, i), b1pow[k2], plan, q))
+    phi0 = zq_ops.reshape(flat0, (1, layout.r_new, layout.n_new, d))
+
+    # dense right-hand sides (k', d): 0 | u1 | u2 | 0 | 0 | b_fin
+    b_k = zq_ops.zeros((layout.k_new, d), q)
+    row1 = p.kappa
+    row2 = row1 + p.kappa_1
+    f18 = row2 + p.kappa_2 + 2
+    b_k = zq_ops.tmap(lambda o, v: o.at[row1:row1 + p.kappa_1].set(v),
+                      b_k, proof.u_1)
+    b_k = zq_ops.tmap(lambda o, v: o.at[row2:row2 + p.kappa_2].set(v),
+                      b_k, proof.u_2)
+    b_k = zq_ops.tmap(lambda o, v: o.at[f18].set(v), b_k, b_fin)
+
+    wc = np.asarray(_centered(witness, q))
+    beta_new = int(math.isqrt(int((wc.astype(np.int64) ** 2).sum()))) + 1
+
+    params_new = LabradorParams(
+        n=layout.n_new, r=layout.r_new, q=q, d=p.d,
+        k_count=layout.k_new, l_count=1,
+        kappa_override=kappa_new, exact_digits=True,
+        beta_override=beta_new)
+    st = FoldedState(base_crs=crs, c=c, cc=cc, cphi=cphi, a_fin=a_fin,
+                     phi0=phi0, b_k=b_k, layout=layout)
+    return params_new, witness, st, layout
+
+
+def folded_residual(st: FoldedState, witness, params_new: LabradorParams):
+    """Exact residual of the folded relation on a (digit) witness, computed
+    by *reconstructing* z, t, g, h from the witness layout and replaying
+    the base verifier algebra (checks 15-20 + 16-18) against the carried
+    right-hand sides.  Returns the max |residual| over all six groups —
+    0 iff the witness satisfies the structured relation.  O(CRS) memory."""
+    lay = st.layout
+    p0 = lay.params
+    q, d = p0.q, p0.d
+    plan = ntt_ops.plan_for(p0)
+    flat = zq_ops.reshape(witness, (lay.m_total, d))
+
+    def at(pos):
+        return zq_ops.index(flat, pos)
+
+    bpow = [pow(p0.b, k, q) for k in range(lay.nz)]
+    b1pow = [pow(p0.b_1, k, q) for k in range(p0.t_1)]
+    b2pow = [pow(p0.b_2, k, q) for k in range(p0.t_2)]
+
+    # reconstruct z, t, g, h mod q from their digit positions
+    z = zq_ops.zeros((p0.n, d), q)
+    for k in range(lay.nz):
+        pos = lay.z_pos(k, 0)
+        z = zq_ops.add(z, _scale_modq(
+            zq_ops.index(flat, slice(pos, pos + p0.n)), bpow[k], plan, q), q)
+    g0 = lay.garbage_pos(0)
+    t_len = p0.r * p0.t_1 * p0.kappa
+    t_dig = zq_ops.reshape(zq_ops.index(flat, slice(g0, g0 + t_len)),
+                           (p0.r, p0.t_1, p0.kappa, d))
+    t_dig = zq_ops.swapaxes(t_dig, 0, 1)                  # (t1, r, kap, d)
+    t = zq_ops.zeros((p0.r, p0.kappa, d), q)
+    for k in range(p0.t_1):
+        t = zq_ops.add(t, _scale_modq(zq_ops.index(t_dig, k),
+                                      b1pow[k], plan, q), q)
+    g_dig = zq_ops.zeros((p0.t_2, p0.r, p0.r, d), q)
+    h_dig = zq_ops.zeros((p0.t_1, p0.r, p0.r, d), q)
+    g = zq_ops.zeros((p0.r, p0.r, d), q)
+    h = zq_ops.zeros((p0.r, p0.r, d), q)
+    for i in range(p0.r):
+        for j in range(i, p0.r):
+            for k in range(p0.t_2):
+                v = at(lay.g_pos(i, j, k))
+                g_dig = zq_ops.tmap(
+                    lambda o, x: o.at[k, i, j].set(x).at[k, j, i].set(x),
+                    g_dig, v)
+            for k in range(p0.t_1):
+                v = at(lay.h_pos(i, j, k))
+                h_dig = zq_ops.tmap(
+                    lambda o, x: o.at[k, i, j].set(x).at[k, j, i].set(x),
+                    h_dig, v)
+    # recompose g, h from their symmetric digit tensors
+    for k in range(p0.t_2):
+        g = zq_ops.add(g, _scale_modq(zq_ops.index(g_dig, k),
+                                      b2pow[k], plan, q), q)
+    for k in range(p0.t_1):
+        h = zq_ops.add(h, _scale_modq(zq_ops.index(h_dig, k),
+                                      b1pow[k], plan, q), q)
+
+    crs = st.base_crs
+    diffs = []
+
+    def absmax(x):
+        if isinstance(x, zq_ops.Zq2):
+            # nonzero iff any limb nonzero
+            return jnp.maximum(jnp.max(jnp.abs(x.hi)), jnp.max(jnp.abs(x.lo)))
+        return jnp.max(x)
+
+    def diff(a_, b_):
+        diffs.append(absmax(zq_ops.sub(a_, b_, q)))
+
+    # group A: A z == sum_i c_i t_i
+    z_hat = ntt_ops.ntt_fwd(z, plan)
+    az = zq_ops.index(
+        protocol.ajtai_commit(crs, z_hat[:, None, :, :], p0, plan), 0)
+    c_hat = ntt_ops.ntt_fwd(st.c, plan)
+    t_hat = ntt_ops.ntt_fwd(t, plan)
+    ct_terms = []
+    for pi_, pr in enumerate(plan.primes):
+        ct_terms.append(ntt_ops._mod_sum(
+            mod_pos(c_hat[pi_][:, None, :] * t_hat[pi_], pr), pr, axis=0))
+    ct = ntt_ops.ntt_inv_modq(jnp.stack(ct_terms), plan)
+    diff(az, ct)
+    # group B: u1 == B t_dig + C g_dig
+    u1 = protocol.u1_from_digits(crs, t_dig, g_dig, p0, plan)
+    diff(u1, zq_ops.index(st.b_k, slice(p0.kappa, p0.kappa + p0.kappa_1)))
+    # group C: u2 == D h_dig
+    u2 = protocol.u2_from_digits(crs, h_dig, p0, plan)
+    row2 = p0.kappa + p0.kappa_1
+    diff(u2, zq_ops.index(st.b_k, slice(row2, row2 + p0.kappa_2)))
+    # f16: <z,z> == sum_ij cc_ij g_ij
+    zz = ntt_ops.polyvec_inner_product(z, z, plan)
+    cc_hat = ntt_ops.ntt_fwd(st.cc, plan)
+    g_hat = ntt_ops.ntt_fwd(g, plan)
+    s16 = []
+    for pi_, pr in enumerate(plan.primes):
+        s16.append(ntt_ops._mod_sum(
+            mod_pos(cc_hat[pi_] * g_hat[pi_], pr).reshape(-1, d),
+            pr, axis=0))
+    diff(zz, ntt_ops.ntt_inv_modq(jnp.stack(s16), plan))
+    # f17: <cphi, z> == sum_ij cc_ij h_ij
+    cz = ntt_ops.polyvec_inner_product(st.cphi, z, plan)
+    h_hat = ntt_ops.ntt_fwd(h, plan)
+    s17 = []
+    for pi_, pr in enumerate(plan.primes):
+        s17.append(ntt_ops._mod_sum(
+            mod_pos(cc_hat[pi_] * h_hat[pi_], pr).reshape(-1, d),
+            pr, axis=0))
+    diff(cz, ntt_ops.ntt_inv_modq(jnp.stack(s17), plan))
+    # f18: sum_ij a_fin_ij g_ij + sum_i h_ii == b_fin
+    a_fin_hat = ntt_ops.ntt_fwd(st.a_fin, plan)
+    s18 = []
+    for pi_, pr in enumerate(plan.primes):
+        s18.append(ntt_ops._mod_sum(
+            mod_pos(a_fin_hat[pi_] * g_hat[pi_], pr).reshape(-1, d),
+            pr, axis=0))
+    lhs18 = ntt_ops.ntt_inv_modq(jnp.stack(s18), plan)
+    hdiag = zq_ops.zeros((d,), q)
+    for i in range(p0.r):
+        hdiag = zq_ops.add(hdiag, zq_ops.index(h, (i, i)), q)
+    f18 = row2 + p0.kappa_2 + 2
+    diff(zq_ops.add(lhs18, hdiag, q), zq_ops.index(st.b_k, f18))
+    return jnp.max(jnp.stack(diffs))
 
 
 def recursive_step(params: LabradorParams, state: State, proof: Transcript,

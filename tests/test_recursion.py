@@ -30,10 +30,8 @@ def base():
 def test_base_proof_verifies(base):
     _, state, crs, proof = base
     rep = verifier.verify_report(P, state, proof, crs, decomp_mode="exact")
-    for k in ("c08_g_symmetric", "c09_h_symmetric", "c15_az_vs_ct",
-              "c16_zz_vs_gcc", "c17_phiz_vs_hcc", "c18_agg_relation",
-              "c19_u1", "c20_u2", "c21_b_pp_const"):
-        assert bool(rep[k]), k
+    failed = [k for k, v in rep.items() if not bool(np.asarray(v))]
+    assert not failed, f"checks failed: {failed}"
 
 
 def test_folded_relation_holds(base):
@@ -70,7 +68,93 @@ def test_recursive_prove_verify(base):
     assert bool(proof_new.b_pp_ok)
     rep = verifier.verify_report(p_new, s_new, proof_new, crs_new,
                                  decomp_mode="exact")
-    for k in ("c08_g_symmetric", "c09_h_symmetric", "c15_az_vs_ct",
-              "c16_zz_vs_gcc", "c17_phiz_vs_hcc", "c18_agg_relation",
-              "c19_u1", "c20_u2", "c21_b_pp_const"):
-        assert bool(rep[k]), k
+    failed = [k for k, v in rep.items() if not bool(np.asarray(v))]
+    assert not failed, f"folded-instance checks failed: {failed}"
+
+
+# ---------------------------------------------------------------------------
+# Structured (streamed) recursion: recursion.fold / FoldedState
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def folded_structured(base):
+    _, state, crs, proof = base
+    return recursion.fold(P, state, proof, crs)
+
+
+def test_fold_matches_dense_relation(base, folded_structured):
+    """fold() (streamed, O(M d) memory) and recursive_step() (dense
+    (k', M, d) phi) define the SAME relation: witness, b_k, the dense
+    family-0 row, and random-alpha contractions of phi and a all agree."""
+    from labrador_tpu import protocol, sampling
+    from labrador_tpu.ops import ntt as ntt_ops
+    _, state, crs, proof = base
+    p_d, w_d, s_dense, _ = recursion.recursive_step(P, state, proof, crs)
+    p_new, w_new, st, _ = folded_structured
+    assert p_new == p_d
+    np.testing.assert_array_equal(np.asarray(w_new), np.asarray(w_d))
+    np.testing.assert_array_equal(np.asarray(st.b_k), np.asarray(s_dense.b_k))
+    np.testing.assert_array_equal(np.asarray(st.phi0),
+                                  np.asarray(s_dense.phi_k[:1]))
+    plan = ntt_ops.plan_for(p_new)
+    alpha = sampling.uniform_zq(jax.random.key(5), (p_new.k_count, p_new.d),
+                                p_new.q)
+    alpha_hat = ntt_ops.ntt_fwd(alpha, plan)
+    dense_phi = ntt_ops.ntt_inv_modq(protocol.phi_weighted_hat(
+        alpha_hat, ntt_ops.ntt_fwd(s_dense.phi_k, plan), plan), plan)
+    np.testing.assert_array_equal(np.asarray(dense_phi),
+                                  np.asarray(st.phi_alpha_modq(alpha)))
+    dense_a = ntt_ops.ntt_inv_modq(protocol.phi_weighted_hat(
+        alpha_hat, ntt_ops.ntt_fwd(s_dense.a_k, plan), plan), plan)
+    np.testing.assert_array_equal(np.asarray(dense_a),
+                                  np.asarray(st.a_alpha_modq(alpha)))
+
+
+def test_folded_residual_streamed(folded_structured):
+    p_new, w_new, st, _ = folded_structured
+    assert int(recursion.folded_residual(st, w_new, p_new)) == 0
+    w_bad = (w_new.at[0, 0, 0].add(1)) % p_new.q
+    assert int(recursion.folded_residual(st, w_bad, p_new)) != 0
+
+
+def test_structured_prove_verify_two_levels(folded_structured):
+    """Prove + full verify on the structured folded instance, then fold
+    THAT proof again (level 2) and prove + verify it — multi-level
+    recursion with no dense relation anywhere."""
+    p1, w1, st1, _ = folded_structured
+    crs1 = CRS.create(p1, seed=0x5EC0)
+    proof1 = prover.prove(p1, w1, st1, crs1, jax.random.key(99),
+                          decomp_mode="exact")
+    assert bool(proof1.jl_ok) and bool(proof1.b_pp_ok)
+    rep1 = verifier.verify_report(p1, st1, proof1, crs1, decomp_mode="exact")
+    failed = [k for k, v in rep1.items() if not bool(np.asarray(v))]
+    assert not failed, f"structured L1 checks failed: {failed}"
+
+    # mu=6 keeps r2' = nz + mu small (r' drives the challenge-sampler
+    # unroll and hence compile time; the relation is valid for any mu)
+    p2, w2, st2, _ = recursion.fold(p1, st1, proof1, crs1, mu=6)
+    assert int(recursion.folded_residual(st2, w2, p2)) == 0
+    crs2 = CRS.create(p2, seed=0x5EC2)
+    proof2 = prover.prove(p2, w2, st2, crs2, jax.random.key(7),
+                          decomp_mode="exact")
+    assert bool(proof2.jl_ok) and bool(proof2.b_pp_ok)
+    rep2 = verifier.verify_report(p2, st2, proof2, crs2, decomp_mode="exact")
+    failed2 = [k for k, v in rep2.items() if not bool(np.asarray(v))]
+    assert not failed2, f"structured L2 checks failed: {failed2}"
+
+
+def test_fold_kappa128_no_dense_materialization():
+    """Folding a kappa=128 base instance (the reference's own kappa = n*d
+    rule) — the dense relation would be a ~1 GB (k'=387, M~1500, d) tensor
+    per CRT prime; the structured fold never builds it.  The streamed
+    residual certifies the relation on the digit witness."""
+    p128 = LabradorParams(n=2, r=2, exact_digits=True)   # kappa = n*d = 128
+    key = jax.random.key(4242)
+    kw, ks, kv = jax.random.split(key, 3)
+    w = sampling.generate_witness(kw, p128)
+    state = structs.generate_state(ks, w, p128)
+    crs = CRS.create(p128, seed=0x128)
+    proof = prover.prove(p128, w, state, crs, kv, decomp_mode="exact")
+    p_new, w_new, st, layout = recursion.fold(p128, state, proof, crs)
+    assert p_new.k_count == 3 * 128 + 3
+    assert int(recursion.folded_residual(st, w_new, p_new)) == 0
