@@ -1,22 +1,34 @@
 """Fused Pallas kernel: CRS expansion + Ajtai commitment in one pass.
 
-Computes t = A s where A is the *virtual* CRS matrix: each grid block
-  1. derives its Threefry counter offsets (emulated-u64, in-register),
-  2. PRG-expands its (rows x n x d) tile of A — the CRS never touches HBM,
-  3. transforms the tile per CRT prime (int8-limb MXU dots vs the twiddle
-     matrix),
-  4. contracts with the (resident) transformed witness over n,
-  5. inverse-transforms and Garner-reconstructs the result mod q.
+Computes t = A s where A is the *virtual* CRS matrix, as ONE giant int8 MXU
+matmul against the negacyclic-circulant matrix of the witness:
 
-One HBM write of the t block per grid step; A itself never exists anywhere.
-This is the "PRG-expand + NTT + matmul" fused kernel from SURVEY.md's
-native-component checklist (items (c)+(d)); the same pattern covers the u1
-outer commitment (B tiles) — roadmap.
+    t[row, j, :] = sum_n A[row, n, :] (*) s[j, n, :]          ((*) = Rq mult)
+                 = A_flat[row, :] @ C[:, j*d:(j+1)*d]
+
+where A_flat is the (kappa, n*d) coefficient view of A and C is the
+(n*d, r*d) stack of negacyclic circulants C[(n,i), (j,k)] =
+sign(i,k) * s_c[j, n, (k-i) mod d] over the *centered* witness.  This
+replaces the NTT route entirely inside the kernel: no eval-domain pointwise
+step (the round-1 kernel ran that contraction per-lane on the VPU and lost
+to XLA — PERF.md), no INTT, every FLOP on the MXU.
+
+Grid is (kappa blocks, K blocks): each step PRG-expands its A tile from
+Threefry counters (the CRS never touches HBM — SURVEY.md native checklist
+(c)+(d)), splits to signed int8 limbs, and accumulates 4 limb matmuls per
+CRT prime into VMEM scratch; the last K step folds limbs mod p and writes
+per-prime residues.  Garner reconstruction mod q runs as a tiny XLA epilog
+(zq.fold_res_modq).
+
+Exactness: A in [0, q), s centered with |s| <= q/2 < 2^12 at reference
+moduli; limb products accumulate in int32 (bounds in comments below);
+the reconstructed integer |X| <= n*d*q*q/2 << M/2, so the signed Garner
+fold is exact.  Reference role: ``proofgen.rs:41-49`` + ``structs.rs:55-72``.
 """
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
@@ -26,98 +38,103 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..params import LabradorParams
 from .ntt import NttPlan
-from .ntt_pallas import _split_np_i8
 from . import prg
+from . import zq as zq_ops
 
 
-def _pick_row_block(kappa: int, n: int) -> int:
-    """Rows per grid step: keep the A tile (rows*n*d int32 + offsets)
-    within a comfortable VMEM slice, and divide kappa evenly."""
-    target = max(1, 2048 // max(n, 1))
-    blk = 1
-    for cand in (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024):
-        if cand <= target and kappa % cand == 0:
-            blk = cand
-    return blk
+def _pick_blocks(kappa: int, nd: int) -> tuple[int, int]:
+    """(row block, K block): keep the A tile (rows x Kc int32 + int8 limbs)
+    and the double-buffered C block within a comfortable VMEM budget."""
+    kc = nd
+    while kc > 8192 or nd % kc:
+        kc -= 1
+        while nd % kc:
+            kc -= 1
+    mb = 1
+    for cand in (8, 16, 32, 64, 128, 256):
+        if cand <= kappa and kappa % cand == 0 and cand * kc <= (1 << 20):
+            mb = cand
+    return mb, kc
 
 
-def _make_kernel(params: LabradorParams, plan: NttPlan, r_blk: int):
+def _split8(x):
+    lo = ((x + 128) & 255) - 128
+    hi = (x - lo) >> 8
+    return hi.astype(jnp.int8), lo.astype(jnp.int8)
+
+
+def circulant_int8(witness: jax.Array, params: LabradorParams):
+    """(r, n, d) witness residues -> negacyclic circulant (n*d, r*d) as
+    signed int8 (hi, lo) limbs of the centered values."""
     p = params
-    n, r, d, q = p.n, p.r, p.d, p.q
+    s_c = jnp.where(witness > p.q // 2, witness - p.q, witness)
+    i = jnp.arange(p.d)[:, None]
+    k = jnp.arange(p.d)[None, :]
+    idx = (k - i) % p.d
+    sign = jnp.where(k >= i, 1, -1).astype(jnp.int32)
+    g = s_c[:, :, idx] * sign[None, None]          # (r, n, d_i, d_k)
+    cmat = jnp.transpose(g, (1, 2, 0, 3)).reshape(p.n * p.d, p.r * p.d)
+    return _split8(cmat)
+
+
+def _make_kernel(params: LabradorParams, plan: NttPlan,
+                 mb: int, kc: int, n_kc: int):
+    p = params
+    nd, q = p.n * p.d, p.q
     primes = plan.primes
     P = len(primes)
-    RN = r_blk * n
-    stride = r_blk * n * d  # flat CRS offsets per block (A layout: row*n*d)
 
-    def kernel(key_ref, s_ref, vhi_ref, vlo_ref, whi_ref, wlo_ref, out_ref):
+    def kernel(key_ref, chi_ref, clo_ref, out_ref, acc_ref):
         blk = pl.program_id(0)
-        # --- block-local 64-bit CRS offsets: blk*stride + iota
-        bh, bl = prg.offset_mul_i32(jnp.int32(blk), stride)
-        row_ids = jax.lax.broadcasted_iota(jnp.int32, (RN, d), 0)
-        col_ids = jax.lax.broadcasted_iota(jnp.int32, (RN, d), 1)
-        flat = row_ids * d + col_ids                    # < 2^31 per block
-        off = prg.offset_add((bh, bl),
-                             (jnp.zeros((RN, d), jnp.uint32),
-                              flat.astype(jnp.uint32)))
-        # --- PRG-expand the A tile (counter-mode Threefry, mod q)
+        kcb = pl.program_id(1)
+
+        # --- A tile offsets: row (blk*mb + r) at column (kcb*kc + c):
+        #     flat = (blk*mb + r) * nd + kcb*kc + c   (A layout: row*n*d)
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (mb, kc), 0)
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (mb, kc), 1)
+        base = prg.offset_add(
+            prg.offset_mul_i32(blk * mb, nd),
+            prg.offset_mul_i32(kcb, kc))
+        flat = row_ids * nd + col_ids
+        off = prg.offset_add(base, (jnp.zeros((mb, kc), jnp.uint32),
+                                    flat.astype(jnp.uint32)))
         a_tile = prg.uniform_mod_q(key_ref[0, 0], key_ref[0, 1],
-                                   off[0], off[1], q)   # (RN, d) int32
+                                   off[0], off[1], q)      # (mb, kc) [0, q)
+
+        @pl.when(kcb == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
 
         dn = (((1,), (0,)), ((), ()))
-        dot = partial(jax.lax.dot_general, dimension_numbers=dn,
-                      preferred_element_type=jnp.int32)
 
-        def split8(x):
-            lo = ((x + 128) & 255) - 128
-            hi = (x - lo) >> 8
-            return hi.astype(jnp.int8), lo.astype(jnp.int8)
+        def dot(a, b):
+            return jax.lax.dot_general(a, b, dn,
+                                       preferred_element_type=jnp.int32)
 
-        def mm_mod(x, m_hi, m_lo, pr):
-            x_hi, x_lo = split8(x)
-            p11 = dot(x_hi, m_hi)
-            p10 = dot(x_hi, m_lo) + dot(x_lo, m_hi)
-            p00 = dot(x_lo, m_lo)
-            c16 = (1 << 16) % pr
-            c8 = (1 << 8) % pr
-            return ((p11 % pr) * c16 % pr + (p10 % pr) * c8 % pr
-                    + (p00 % pr)) % pr
-
-        residues = []
+        c_hi = chi_ref[:]
+        c_lo = clo_ref[:]
         for pi in range(P):
             pr = int(primes[pi])
-            ap = a_tile % pr
-            ahat = mm_mod(ap, vhi_ref[pi], vlo_ref[pi], pr)   # (RN, d)
-            ahat3 = ahat.reshape(r_blk, n, d)
-            # contract over n against the resident transformed witness
-            cols = []
-            for j in range(r):
-                sj = s_ref[pi, :, j, :]                        # (n, d)
-                prod = (ahat3 * sj[None, :, :]) % pr           # < pr
-                cols.append(jnp.sum(prod, axis=1) % pr)        # (r_blk, d)
-            acc = jnp.stack(cols, axis=1)                      # (r_blk, r, d)
-            inv = mm_mod(acc.reshape(r_blk * r, d),
-                         whi_ref[pi], wlo_ref[pi], pr)
-            residues.append(inv)                               # (r_blk*r, d)
+            ap = a_tile % pr                                # [0, pr)
+            a_hi, a_lo = _split8(ap)   # a_hi <= 126, |a_lo| <= 128
+            # per-chunk bounds (kc <= 8192): p11 <= kc*126*16 ~ 1.7e7,
+            # p10 <= kc*(126*128 + 128*16) ~ 1.5e8, p00 <= kc*128*128
+            # ~ 1.3e8; accumulated over n_kc chunks still < 2^31 for
+            # nd <= 2^17.
+            acc_ref[pi, 0] += dot(a_hi, c_hi)
+            acc_ref[pi, 1] += dot(a_hi, c_lo) + dot(a_lo, c_hi)
+            acc_ref[pi, 2] += dot(a_lo, c_lo)
 
-        # --- Garner mixed-radix + signed correction mod q
-        v = [residues[0]]
-        for k in range(1, P):
-            pr = int(primes[k])
-            t = (residues[k] - v[0]) % pr
-            for j in range(1, k):
-                t = (t * int(plan.garner_inv[j - 1, k])) % pr
-                t = (t - v[j]) % pr
-            t = (t * int(plan.garner_inv[k - 1, k])) % pr
-            v.append(t)
-        out = jnp.zeros_like(v[0])
-        for j in range(P):
-            out = out + (v[j] * plan.prefix_mod_q[j]) % q
-        gt = jnp.zeros(v[0].shape, jnp.bool_)
-        for j in range(P):
-            mj = plan.m_half_digits[j]
-            gt = (v[j] > mj) | ((v[j] == mj) & gt)
-        out = (out - jnp.where(gt, plan.m_mod_q, 0)) % q
-        out_ref[:] = out.reshape(r_blk, r, d)
+        @pl.when(kcb == n_kc - 1)
+        def _():
+            for pi in range(P):
+                pr = int(primes[pi])
+                c16 = (1 << 16) % pr
+                c8 = (1 << 8) % pr
+                res = ((acc_ref[pi, 0] % pr) * c16 % pr
+                       + (acc_ref[pi, 1] % pr) * c8 % pr
+                       + acc_ref[pi, 2] % pr) % pr
+                out_ref[pi] = res
 
     return kernel
 
@@ -125,51 +142,50 @@ def _make_kernel(params: LabradorParams, plan: NttPlan, r_blk: int):
 @lru_cache(maxsize=None)
 def _build_call(params: LabradorParams, plan: NttPlan):
     p = params
-    d = p.d
+    nd, rd = p.n * p.d, p.r * p.d
     P = len(plan.primes)
-    r_blk = _pick_row_block(p.kappa, p.n)
-    kernel = _make_kernel(params, plan, r_blk)
-    grid = (p.kappa // r_blk,)
+    mb, kc = _pick_blocks(p.kappa, nd)
+    n_kc = nd // kc
+    kernel = _make_kernel(params, plan, mb, kc, n_kc)
 
     call = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((p.kappa, p.r, d), jnp.int32),
-        grid=grid,
+        out_shape=jax.ShapeDtypeStruct((P, p.kappa, rd), jnp.int32),
+        grid=(p.kappa // mb, n_kc),
         in_specs=[
-            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((P, p.n, p.r, d), lambda i: (0, 0, 0, 0),
+            pl.BlockSpec((1, 2), lambda i, kcb: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((kc, rd), lambda i, kcb: (kcb, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, d, d), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, d, d), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, d, d), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, d, d), lambda i: (0, 0, 0),
+            pl.BlockSpec((kc, rd), lambda i, kcb: (kcb, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((r_blk, p.r, d), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((P, mb, rd), lambda i, kcb: (0, i, 0),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((P, 3, mb, rd), jnp.int32)],
         cost_estimate=pl.CostEstimate(
-            flops=2 * p.kappa * p.n * d * P * (2 * 4 * d + p.r),
-            bytes_accessed=p.kappa * p.r * d * 4,
+            flops=2 * 4 * P * p.kappa * nd * rd,
+            bytes_accessed=p.kappa * rd * P * 4 + nd * rd * 2,
             transcendentals=0,
         ),
     )
-    return call, r_blk
+    return call, mb
 
 
-def ajtai_commit_pallas(crs_key: jax.Array, s_hat: jax.Array,
+def ajtai_commit_pallas(crs_key: jax.Array, witness: jax.Array,
                         params: LabradorParams, plan: NttPlan) -> jax.Array:
-    """t = A s with the virtual CRS expanded in-kernel.
+    """t = A s with the virtual CRS expanded in-kernel and the contraction
+    on the MXU (circulant matmul — see module docstring).
 
-    crs_key: (2,) uint32; s_hat: (P, r, n, d) transformed witness.
+    crs_key: (2,) uint32; witness: (r, n, d) residues in [0, q).
     Returns (r, kappa, d) int32 mod q — identical to protocol.ajtai_commit.
     """
-    from .ntt_pallas import _plan_consts
-    vhi, vlo, whi, wlo = (jnp.asarray(x) for x in _plan_consts(plan))
-    call, _ = _build_call(params, plan)
+    p = params
+    assert not zq_ops.is_big(p.q), "fused Ajtai kernel is single-limb only"
+    c_hi, c_lo = circulant_int8(witness, p)
+    call, _ = _build_call(p, plan)
     key2 = jnp.asarray(crs_key, jnp.uint32).reshape(1, 2)
-    s_in = jnp.swapaxes(s_hat, 1, 2)            # (P, n, r, d)
-    t = call(key2, s_in, vhi, vlo, whi, wlo)    # (kappa, r, d)
-    return jnp.swapaxes(t, 0, 1)                # (r, kappa, d)
+    res = call(key2, c_hi, c_lo)                  # (P, kappa, r*d)
+    t = zq_ops.fold_res_modq(res, plan, signed=True)
+    t = t.reshape(p.kappa, p.r, p.d)
+    return jnp.swapaxes(t, 0, 1)                  # (r, kappa, d)

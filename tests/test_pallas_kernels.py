@@ -35,8 +35,9 @@ def test_fused_polymul_block_padding():
 
 
 def test_fused_ajtai_matches_xla():
-    """The fully fused PRG+NTT+matmul+Garner Ajtai kernel must be
-    bit-identical to the streamed XLA path."""
+    """The fused PRG + circulant-MXU-matmul Ajtai kernel must be
+    bit-identical to the streamed XLA path (the second config exercises the
+    K-chunked grid: n*d above the per-step block)."""
     import jax
     from labrador_tpu import sampling, protocol
     from labrador_tpu.crs import CRS
@@ -50,5 +51,25 @@ def test_fused_ajtai_matches_xla():
         crs = CRS.create(p, seed=0xA17A1)
         want = np.asarray(protocol.ajtai_commit(crs, s_hat, p, plan))
         with pltpu.force_tpu_interpret_mode():
-            got = np.asarray(ajtai_commit_pallas(crs.key, s_hat, p, plan))
+            got = np.asarray(ajtai_commit_pallas(crs.key, w, p, plan))
         np.testing.assert_array_equal(got, want)
+
+
+def test_fused_ajtai_kc_chunked():
+    """A shape whose n*d exceeds the 8192 K-block: multiple K grid steps
+    accumulate into the same output block."""
+    import jax
+    from labrador_tpu import sampling, protocol
+    from labrador_tpu.crs import CRS
+    from labrador_tpu.ops.ajtai_pallas import ajtai_commit_pallas, _pick_blocks
+
+    p = LabradorParams(n=256, r=2, kappa_override=16)
+    assert _pick_blocks(p.kappa, p.n * p.d)[1] < p.n * p.d
+    plan = ntt.plan_for(p)
+    w = sampling.generate_witness(jax.random.key(3), p)
+    s_hat = ntt.ntt_fwd(w, plan)
+    crs = CRS.create(p, seed=0xA17A2)
+    want = np.asarray(protocol.ajtai_commit(crs, s_hat, p, plan))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(ajtai_commit_pallas(crs.key, w, p, plan))
+    np.testing.assert_array_equal(got, want)
