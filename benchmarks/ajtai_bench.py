@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Fused Ajtai kernel vs XLA streamed path, one TPU chip.
+
+Shape matches PERF.md's round-1 entry (kappa=2048, n=128, r=4) so the
+numbers are directly comparable.  Distinct witnesses per iteration (the
+axon relay dedupes repeated identical dispatches).
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--kappa", type=int, default=2048)
+    ap.add_argument("--n", type=int, default=128)
+    ap.add_argument("--r", type=int, default=4)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from labrador_tpu.params import LabradorParams
+    from labrador_tpu.ops import ntt
+    from labrador_tpu import sampling, protocol
+    from labrador_tpu.crs import CRS
+    from labrador_tpu.ops.ajtai_pallas import ajtai_commit_pallas
+
+    p = LabradorParams(n=args.n, r=args.r, kappa_override=args.kappa)
+    plan = ntt.plan_for(p)
+    crs = CRS.create(p, seed=0xBE7C)
+    keys = [jax.random.key(100 + i) for i in range(4)]
+    ws = [sampling.generate_witness(k, p) for k in keys]
+    print(f"shape: kappa={p.kappa} n={p.n} r={p.r} q={p.q} "
+          f"primes={len(plan.primes)}", flush=True)
+
+    @jax.jit
+    def xla_path(crs, w):
+        s_hat = ntt.ntt_fwd(w, plan)
+        return protocol.ajtai_commit(crs, s_hat, p, plan)
+
+    @jax.jit
+    def pallas_path(key, w):
+        return ajtai_commit_pallas(key, w, p, plan)
+
+    t0 = time.time()
+    r_x = jax.block_until_ready(xla_path(crs, ws[0]))
+    print(f"xla compile+run: {time.time()-t0:.1f}s", flush=True)
+    t0 = time.time()
+    r_p = jax.block_until_ready(pallas_path(crs.key, ws[0]))
+    print(f"pallas compile+run: {time.time()-t0:.1f}s", flush=True)
+    import numpy as np
+    np.testing.assert_array_equal(np.asarray(r_x), np.asarray(r_p))
+    print("outputs bit-identical", flush=True)
+
+    for name, f, arg0 in (("xla", xla_path, crs),
+                          ("pallas", pallas_path, crs.key)):
+        outs = [jax.block_until_ready(f(arg0, ws[1]))]
+        t0 = time.perf_counter()
+        for i in range(args.iters):
+            outs.append(f(arg0, ws[i % len(ws)]))
+        jax.block_until_ready(outs)
+        dt = (time.perf_counter() - t0) / args.iters * 1e3
+        print(f"{name}: {dt:.2f} ms / commitment", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -43,16 +43,18 @@ from . import zq as zq_ops
 
 
 def _pick_blocks(kappa: int, nd: int) -> tuple[int, int]:
-    """(row block, K block): keep the A tile (rows x Kc int32 + int8 limbs)
-    and the double-buffered C block within a comfortable VMEM budget."""
+    """(row block, K block): keep the A tile (rows x Kc int32 + int8 limbs
+    + the PRG's u32 temporaries, several live at once) and the
+    double-buffered C block within the 16 MB scoped-VMEM budget —
+    mb*kc = 2^18 means ~1 MB per live (mb, kc) int32 temporary."""
     kc = nd
-    while kc > 8192 or nd % kc:
+    while kc > 4096 or nd % kc:
         kc -= 1
         while nd % kc:
             kc -= 1
     mb = 1
-    for cand in (8, 16, 32, 64, 128, 256):
-        if cand <= kappa and kappa % cand == 0 and cand * kc <= (1 << 20):
+    for cand in (8, 16, 32, 64, 128):
+        if cand <= kappa and kappa % cand == 0 and cand * kc <= (1 << 18):
             mb = cand
     return mb, kc
 

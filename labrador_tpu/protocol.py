@@ -480,7 +480,8 @@ def ajtai_commit(crs, s_hat: jax.Array, params: LabradorParams,
     With ``ctx``: row-sharded — each device expands only its own kappa-row
     block of A, computes its slice of t, and an all_gather over ``ctx.axis``
     assembles the transcript tensor."""
-    if use_pallas:
+    if use_pallas and ctx is None and not zq_ops.is_big(params.q) \
+            and type(crs).__name__ != "MaterializedCRS":
         from .ops.ajtai_pallas import ajtai_commit_pallas
         if s_coeff is None:
             s_coeff = ntt_ops.ntt_inv_modq(s_hat, plan)

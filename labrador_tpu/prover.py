@@ -125,13 +125,21 @@ def _jl_with_retries(key: jax.Array, witness_flat: jax.Array,
 def prove_phase1(params: LabradorParams, witness: jax.Array, state: State,
                  crs, oracle, ost,
                  decomp_mode: str = "reference",
-                 kernel_backend: str = "xla",
+                 kernel_backend: str = "auto",
                  ctx: protocol.AxisCtx | None = None):
     """Protocol steps 1-3 (the kappa-heavy commitment phase): Ajtai t,
     Gram g, outer commitment u1.  Returns (ost, carry dict) — the carry is
-    a plain pytree, so it is also the phase-checkpoint payload."""
+    a plain pytree, so it is also the phase-checkpoint payload.
+
+    kernel_backend: 'xla' (streamed scans), 'pallas' (fused circulant MXU
+    kernel for the Ajtai commitment — 2.9x the XLA path on a v5e chip,
+    PERF.md), or 'auto' (pallas on TPU, xla elsewhere; the protocol layer
+    additionally falls back to xla for big-q / sharded / reference-parity
+    CRS runs where the fused kernel does not apply)."""
     p = params
     plan = ntt_ops.plan_for(p)
+    if kernel_backend == "auto":
+        kernel_backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     s_hat = ntt_ops.ntt_fwd(witness, plan)                # (P, r, n, d)
 
     # -- step 1: inner Ajtai commitments t_i = A s_i (proofgen.rs:41-49)
@@ -264,7 +272,7 @@ def prove_phase3(params: LabradorParams, witness: jax.Array,
 def prove_impl(params: LabradorParams, witness: jax.Array, state: State,
                crs, oracle,
                decomp_mode: str = "reference",
-               kernel_backend: str = "xla",
+               kernel_backend: str = "auto",
                ctx: protocol.AxisCtx | None = None) -> Transcript:
     """Proof generation (unjitted core — compose with vmap/shard_map; use
     ``prove``/``prove_fs`` for the jitted entry points).  `crs` is a CRS
@@ -297,7 +305,7 @@ def prove_impl(params: LabradorParams, witness: jax.Array, state: State,
 def prove(params: LabradorParams, witness: jax.Array, state: State,
           crs, verifier_key: jax.Array,
           decomp_mode: str = "reference",
-          kernel_backend: str = "xla") -> Transcript:
+          kernel_backend: str = "auto") -> Transcript:
     """Interactive-model proof: challenges from a verifier PRNG key
     (the reference's interaction model with explicit keys)."""
     return prove_impl(params, witness, state, crs,

@@ -25,11 +25,13 @@ Construction (LaBRADOR §6, adapted to this framework's conventions):
                + sum <phi_i,z> c_i = sum h c c                    (linear)
                + sum a g + sum h_ii = b                           (linear)
 
-Norm bookkeeping: the new instance carries ``beta_override`` equal to the
-actual digit-stream norm (the recursion tracks norm bounds explicitly
-instead of re-deriving beta from q — the reference's beta(q) formula is far
-below any digit-stream norm at q = 8191; truly norm-tight recursion needs
-the large-q limb path, tracked as future work).
+Norm bookkeeping: the new instance carries ``beta_override`` equal to
+sqrt(2) times the actual digit-stream norm (the recursion tracks norm
+bounds explicitly instead of re-deriving beta from q — the reference's
+beta(q) formula is far below any digit-stream norm at q = 8191; at the
+2^32-scale modulus the folded instance IS norm-tight, see
+tests/test_bigq_recursion.py).  The sqrt(2) headroom keeps the JL validity
+bound 128*beta^2 clear of the projection's expectation 128*||w||^2.
 """
 
 from __future__ import annotations
@@ -733,7 +735,11 @@ def fold(params: LabradorParams, state, proof: Transcript, crs,
     b_k = zq_ops.tmap(lambda o, v: o.at[f18].set(v), b_k, b_fin)
 
     wc = np.asarray(_centered(witness, q))
-    beta_new = int(math.isqrt(int((wc.astype(np.int64) ** 2).sum()))) + 1
+    # sqrt(2) headroom over the actual digit-stream norm: the JL validity
+    # bound 128*beta^2 must clear the projection's expectation 128*||w||^2
+    # with margin, or every bounded retry is a coin flip (observed: level-2
+    # folds failing all 6 JL attempts with beta = ||w||+1).
+    beta_new = int(math.isqrt(2 * int((wc.astype(np.int64) ** 2).sum()))) + 1
 
     params_new = LabradorParams(
         n=layout.n_new, r=layout.r_new, q=q, d=p.d,
@@ -884,7 +890,11 @@ def recursive_step(params: LabradorParams, state: State, proof: Transcript,
 
     # actual norm bound of the digit witness (centered)
     wc = np.asarray(_centered(witness, p.q))
-    beta_new = int(math.isqrt(int((wc.astype(np.int64) ** 2).sum()))) + 1
+    # sqrt(2) headroom over the actual digit-stream norm: the JL validity
+    # bound 128*beta^2 must clear the projection's expectation 128*||w||^2
+    # with margin, or every bounded retry is a coin flip (observed: level-2
+    # folds failing all 6 JL attempts with beta = ||w||+1).
+    beta_new = int(math.isqrt(2 * int((wc.astype(np.int64) ** 2).sum()))) + 1
 
     params_new = LabradorParams(
         n=layout.n_new, r=layout.r_new, q=p.q, d=p.d,
