@@ -71,6 +71,43 @@ def main():
         dt = (time.perf_counter() - t0) / args.iters * 1e3
         print(f"{name}: {dt:.2f} ms / commitment", flush=True)
 
+    # ---- u1 (B-term dominant): full u1_from_digits, XLA vs fused --------
+    t_digs = []
+    for w in ws:
+        s_hat = ntt.ntt_fwd(w, plan)
+        t = protocol.ajtai_commit(crs, s_hat, p, plan)
+        t_digs.append(protocol.decompose_t(t, p, "reference"))
+        if len(t_digs) == 1:
+            g = ntt.ntt_inv_modq(protocol.gram_hat(s_hat, plan), plan)
+            g_dig = protocol.decompose_g(g, p, "reference")
+
+    @jax.jit
+    def u1_xla(crs, td):
+        return protocol.u1_from_digits(crs, td, g_dig, p, plan)
+
+    @jax.jit
+    def u1_pal(crs, td):
+        return protocol.u1_from_digits(crs, td, g_dig, p, plan,
+                                       use_pallas=True)
+
+    import numpy as np
+    t0 = time.time()
+    r_x = jax.block_until_ready(u1_xla(crs, t_digs[0]))
+    print(f"u1 xla compile+run: {time.time()-t0:.1f}s", flush=True)
+    t0 = time.time()
+    r_p = jax.block_until_ready(u1_pal(crs, t_digs[0]))
+    print(f"u1 pallas compile+run: {time.time()-t0:.1f}s", flush=True)
+    np.testing.assert_array_equal(np.asarray(r_x), np.asarray(r_p))
+    print("u1 outputs bit-identical", flush=True)
+    for name, f in (("u1 xla", u1_xla), ("u1 pallas", u1_pal)):
+        outs = [jax.block_until_ready(f(crs, t_digs[1]))]
+        t0 = time.perf_counter()
+        for i in range(args.iters):
+            outs.append(f(crs, t_digs[i % len(t_digs)]))
+        jax.block_until_ready(outs)
+        dt = (time.perf_counter() - t0) / args.iters * 1e3
+        print(f"{name}: {dt:.2f} ms", flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -42,19 +42,22 @@ from . import prg
 from . import zq as zq_ops
 
 
-def _pick_blocks(kappa: int, nd: int) -> tuple[int, int]:
-    """(row block, K block): keep the A tile (rows x Kc int32 + int8 limbs
-    + the PRG's u32 temporaries, several live at once) and the
-    double-buffered C block within the 16 MB scoped-VMEM budget —
-    mb*kc = 2^18 means ~1 MB per live (mb, kc) int32 temporary."""
+def _pick_blocks(kappa: int, nd: int, rd: int, n_primes: int) -> tuple[int, int]:
+    """(row block, K block) under the 16 MB scoped-VMEM limit.  Live
+    buffers: the circulant block (kc x rd int8, hi+lo), the accumulator
+    scratch + output block ((3+1) x P x mb x rd int32), and ~6 live
+    (mb, kc) int32 temporaries from the PRG + limb splits."""
+    budget = 11 << 20
     kc = nd
-    while kc > 4096 or nd % kc:
+    while kc > 4096 or 2 * kc * rd > budget // 2 or nd % kc:
         kc -= 1
         while nd % kc:
             kc -= 1
     mb = 1
     for cand in (8, 16, 32, 64, 128):
-        if cand <= kappa and kappa % cand == 0 and cand * kc <= (1 << 18):
+        est = (6 * 4 * cand * kc + 2 * kc * rd
+               + 4 * n_primes * cand * rd * 4)
+        if cand <= kappa and kappa % cand == 0 and est <= budget:
             mb = cand
     return mb, kc
 
@@ -146,7 +149,7 @@ def _build_call(params: LabradorParams, plan: NttPlan):
     p = params
     nd, rd = p.n * p.d, p.r * p.d
     P = len(plan.primes)
-    mb, kc = _pick_blocks(p.kappa, nd)
+    mb, kc = _pick_blocks(p.kappa, nd, rd, P)
     n_kc = nd // kc
     kernel = _make_kernel(params, plan, mb, kc, n_kc)
 
@@ -184,6 +187,8 @@ def ajtai_commit_pallas(crs_key: jax.Array, witness: jax.Array,
     """
     p = params
     assert not zq_ops.is_big(p.q), "fused Ajtai kernel is single-limb only"
+    # raw int32 limb accumulation across K chunks: |p00| <= n*d * 128 * 128
+    assert p.n * p.d <= 1 << 16, "n*d beyond raw-int32 limb accumulation"
     c_hi, c_lo = circulant_int8(witness, p)
     call, _ = _build_call(p, plan)
     key2 = jnp.asarray(crs_key, jnp.uint32).reshape(1, 2)

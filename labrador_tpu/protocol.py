@@ -268,7 +268,8 @@ U1_STEP_COEFFS = 1 << 25
 
 def u1_from_digits(crs, t_dig: jax.Array, g_dig: jax.Array,
                    params: LabradorParams, plan,
-                   ctx: AxisCtx | None = None) -> jax.Array:
+                   ctx: AxisCtx | None = None,
+                   use_pallas: bool = False) -> jax.Array:
     """u1 = sum_{i,k} B_ik t_i^{(k)} + sum_{i<=j,k} C_ijk g_ij^{(k)}.
 
     The lhs is one virtual matmul  [B_0 | ... | B_{rt1-1}] @ concat(t_dig):
@@ -285,6 +286,16 @@ def u1_from_digits(crs, t_dig: jax.Array, g_dig: jax.Array,
     p = params
     P = len(plan.primes)
     m_total = p.r * p.t_1
+
+    if use_pallas and ctx is None and not zq_ops.is_big(p.q) \
+            and type(crs).__name__ != "MaterializedCRS":
+        # fused kernel: B-term PRG + circulant MXU matmul in VMEM
+        # (ops/u1_pallas); the small C-term stays on the XLA path.
+        from .ops.u1_pallas import u1_bterm_pallas
+        bterm = u1_bterm_pallas(crs.key, t_dig, p, plan)   # (k1, d) mod q
+        cterm = ntt_ops.ntt_inv_modq(u1_rhs_hat(crs, g_dig, p, plan), plan)
+        return mod_pos(bterm + cterm, p.q)
+
     t_stream = jnp.swapaxes(t_dig, 0, 1).reshape(m_total, p.kappa, p.d)
 
     if ctx is not None:

@@ -154,7 +154,8 @@ def prove_phase1(params: LabradorParams, witness: jax.Array, state: State,
     # -- step 3: outer commitment u1 (proofgen.rs:100-153)
     t_dig = protocol.decompose_t(t, p, decomp_mode)       # (t1, r, kappa, d)
     g_dig = protocol.decompose_g(g, p, decomp_mode)       # (t2, r, r, d)
-    u_1 = protocol.u1_from_digits(crs, t_dig, g_dig, p, plan, ctx=ctx)
+    u_1 = protocol.u1_from_digits(crs, t_dig, g_dig, p, plan, ctx=ctx,
+                                  use_pallas=(kernel_backend == "pallas"))
     return ost, dict(t=t, g=g, u_1=u_1)
 
 

@@ -55,6 +55,33 @@ def test_fused_ajtai_matches_xla():
         np.testing.assert_array_equal(got, want)
 
 
+def test_fused_u1_bterm_matches_xla():
+    """The fused u1 B-term kernel (PRG + circulant MXU matmul) must be
+    bit-identical to the XLA streamed u1 path; checked through the full
+    u1_from_digits composition (B-term kernel + XLA C-term)."""
+    import jax
+    from labrador_tpu import sampling, structs, prover, protocol
+    from labrador_tpu.crs import CRS
+
+    for kwargs in (dict(n=2, r=2, kappa_override=16),
+                   dict(n=4, r=3, kappa_override=64)):
+        p = LabradorParams(**kwargs)
+        plan = ntt.plan_for(p)
+        w = sampling.generate_witness(jax.random.key(21), p)
+        s_hat = ntt.ntt_fwd(w, plan)
+        crs = CRS.create(p, seed=0x0B1)
+        t = protocol.ajtai_commit(crs, s_hat, p, plan)
+        t_dig = protocol.decompose_t(t, p, "reference")
+        g = ntt.ntt_inv_modq(protocol.gram_hat(s_hat, plan), plan)
+        g_dig = protocol.decompose_g(g, p, "reference")
+        want = np.asarray(protocol.u1_from_digits(crs, t_dig, g_dig, p,
+                                                  plan))
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(protocol.u1_from_digits(
+                crs, t_dig, g_dig, p, plan, use_pallas=True))
+        np.testing.assert_array_equal(got, want)
+
+
 def test_fused_ajtai_kc_chunked():
     """A shape whose n*d exceeds the 8192 K-block: multiple K grid steps
     accumulate into the same output block."""
@@ -64,7 +91,9 @@ def test_fused_ajtai_kc_chunked():
     from labrador_tpu.ops.ajtai_pallas import ajtai_commit_pallas, _pick_blocks
 
     p = LabradorParams(n=256, r=2, kappa_override=16)
-    assert _pick_blocks(p.kappa, p.n * p.d)[1] < p.n * p.d
+    plan0 = ntt.plan_for(p)
+    assert _pick_blocks(p.kappa, p.n * p.d, p.r * p.d,
+                        len(plan0.primes))[1] < p.n * p.d
     plan = ntt.plan_for(p)
     w = sampling.generate_witness(jax.random.key(3), p)
     s_hat = ntt.ntt_fwd(w, plan)
