@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Recursion size/time accounting (BASELINE config 5 structure).
+
+Folds a base proof into a structured recursive instance and reports base
+vs folded proof sizes and prove/verify wall-clock at each level.  One JSON
+line per level.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=16)
+    ap.add_argument("--r", type=int, default=16)
+    ap.add_argument("--kappa", type=int, default=256)
+    ap.add_argument("--kappa-new", type=int, default=16)
+    ap.add_argument("--mu", type=int, default=8)
+    ap.add_argument("--levels", type=int, default=1)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+    if args.cpu:
+        os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/.cache/jax_comp")
+    import jax
+    from labrador_tpu.params import LabradorParams
+    from labrador_tpu import sampling, structs, prover, verifier, recursion
+    from labrador_tpu.crs import CRS
+
+    p = LabradorParams(n=args.n, r=args.r, kappa_override=args.kappa,
+                       exact_digits=True)
+    key = jax.random.key(1)
+    kw, ks, kv = jax.random.split(key, 3)
+    w = sampling.generate_witness(kw, p)
+    state = structs.generate_state(ks, w, p)
+    crs = CRS.create(p, seed=0x512E)
+
+    t0 = time.time()
+    proof = jax.block_until_ready(
+        prover.prove(p, w, state, crs, kv, decomp_mode="exact"))
+    t_prove = time.time() - t0
+    size = structs.transcript_size_in_bytes(jax.device_get(proof), p.q)
+    print(json.dumps(dict(level=0, n=p.n, r=p.r, kappa=p.kappa,
+                          witness_coeffs=p.n * p.r * p.d,
+                          proof_kb=round(size / 1024, 1),
+                          prove_s=round(t_prove, 2))), flush=True)
+
+    for lvl in range(1, args.levels + 1):
+        t0 = time.time()
+        p2, w2, st2, lay = recursion.fold(p, state, proof, crs, mu=args.mu,
+                                          kappa_new=args.kappa_new)
+        t_fold = time.time() - t0
+        crs2 = CRS.create(p2, seed=0xF01D + lvl)
+        t0 = time.time()
+        proof2 = jax.block_until_ready(prover.prove(
+            p2, w2, st2, crs2, jax.random.fold_in(kv, lvl),
+            decomp_mode="exact"))
+        t_prove2 = time.time() - t0
+        assert bool(proof2.jl_ok) and bool(proof2.b_pp_ok)
+        t0 = time.time()
+        rep = verifier.verify_report(p2, st2, proof2, crs2,
+                                     decomp_mode="exact")
+        ok = bool(rep["all"])
+        t_verify2 = time.time() - t0
+        size2 = structs.transcript_size_in_bytes(jax.device_get(proof2),
+                                                 p2.q)
+        print(json.dumps(dict(
+            level=lvl, n=p2.n, r=p2.r, k_families=p2.k_count,
+            witness_coeffs=p2.n * p2.r * p2.d,
+            proof_kb=round(size2 / 1024, 1), fold_s=round(t_fold, 2),
+            prove_s=round(t_prove2, 2), verify_s=round(t_verify2, 2),
+            verified=ok)), flush=True)
+        p, state, proof, crs = p2, st2, proof2, crs2
+
+
+if __name__ == "__main__":
+    main()
