@@ -289,12 +289,20 @@ def u1_from_digits(crs, t_dig: jax.Array, g_dig: jax.Array,
 
     if use_pallas and ctx is None and not zq_ops.is_big(p.q) \
             and type(crs).__name__ != "MaterializedCRS":
-        # fused kernel: B-term PRG + circulant MXU matmul in VMEM
-        # (ops/u1_pallas); the small C-term stays on the XLA path.
-        from .ops.u1_pallas import u1_bterm_pallas
-        bterm = u1_bterm_pallas(crs.key, t_dig, p, plan)   # (k1, d) mod q
-        cterm = ntt_ops.ntt_inv_modq(u1_rhs_hat(crs, g_dig, p, plan), plan)
-        return mod_pos(bterm + cterm, p.q)
+        from .ops.cd_pallas import cd_sum_pallas, digit_limb_ok
+        if digit_limb_ok(p.b_1):
+            # fused kernels: PRG + circulant MXU matmul in VMEM for the
+            # B-term (ops/u1_pallas) and the C-term (ops/cd_pallas)
+            from .ops.u1_pallas import u1_bterm_pallas
+            bterm = u1_bterm_pallas(crs.key, t_dig, p, plan)  # (k1,d) mod q
+            if digit_limb_ok(p.b_2):
+                cterm = cd_sum_pallas(crs.key, _tri_stream(g_dig, p),
+                                      crs._off_c, p.t_2, p, plan)
+            else:
+                cterm = ntt_ops.ntt_inv_modq(
+                    u1_rhs_hat(crs, g_dig, p, plan), plan)
+            return mod_pos(bterm + cterm, p.q)
+        # digits beyond one int8 limb: fall through to the XLA path
 
     t_stream = jnp.swapaxes(t_dig, 0, 1).reshape(m_total, p.kappa, p.d)
 
@@ -435,13 +443,21 @@ def u1_rhs_hat(crs, g_dig: jax.Array, params: LabradorParams, plan,
 
 
 def u2_from_digits(crs, h_dig: jax.Array, params: LabradorParams,
-                   plan, ctx: AxisCtx | None = None) -> jax.Array:
+                   plan, ctx: AxisCtx | None = None,
+                   use_pallas: bool = False) -> jax.Array:
     """u2 = sum_{i<=j, k<t_1} D_ijk h_ij^{(k)}  ->  (kappa_2, d).
     (proofgen.rs:364-378 / verification.rs:421-434)
     With ``ctx``: the (tri, k) terms are sharded over the axis + one psum
-    (the verifier-side rayon site, verification.rs:372-415)."""
+    (the verifier-side rayon site, verification.rs:372-415).
+    ``use_pallas``: fused PRG + circulant MXU kernel (ops/cd_pallas)."""
     p = params
     h_stream = _tri_stream(h_dig, p)                            # (tri, t1, d)
+    if use_pallas and ctx is None and not zq_ops.is_big(p.q) \
+            and type(crs).__name__ != "MaterializedCRS":
+        from .ops.cd_pallas import cd_sum_pallas, digit_limb_ok
+        if digit_limb_ok(p.b_1):
+            return cd_sum_pallas(crs.key, h_stream, crs._off_d, p.t_1,
+                                 p, plan)
     if ctx is not None:
         part = _cd_sharded_partial(crs, crs._off_d, h_stream,
                                    h_stream.shape[0], p.t_1, p, plan, ctx)

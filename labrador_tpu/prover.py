@@ -246,7 +246,8 @@ def prove_phase2(params: LabradorParams, witness: jax.Array, state: State,
 
     # -- step 8: outer commitment u2 (proofgen.rs:364-378)
     h_dig = protocol.decompose_h(h, p, decomp_mode)
-    u_2 = protocol.u2_from_digits(crs, h_dig, p, plan, ctx=ctx)
+    u_2 = protocol.u2_from_digits(crs, h_dig, p, plan, ctx=ctx,
+                                  use_pallas=(kernel_backend == "pallas"))
     return ost, dict(pi=pi, projection=projection, psi=psi, omega=omega,
                      b_prime_prime=b_pp, alpha=alpha, beta=beta, u_2=u_2,
                      jl_ok=jl_ok, b_pp_ok=b_pp_ok, h=h)

@@ -89,28 +89,35 @@ def check14_norm_bound(p: LabradorParams, z, z_dig, t_dig, g_dig, h_dig,
 
 
 @partial(jax.jit, static_argnames=("params", "decomp_mode", "norm_mode",
-                                   "ctx"))
+                                   "ctx", "kernel_backend"))
 def verify_report(params: LabradorParams, state: State, proof: Transcript,
                   crs, decomp_mode: str = "reference",
                   norm_mode: str = "exact",
-                  ctx: protocol.AxisCtx | None = None) -> dict:
+                  ctx: protocol.AxisCtx | None = None,
+                  kernel_backend: str = "auto") -> dict:
     """All checks; returns {name: bool array} plus 'all'."""
     return verify_report_impl(params, state, proof, crs, decomp_mode,
-                              norm_mode, ctx)
+                              norm_mode, ctx, kernel_backend)
 
 
 def verify_report_impl(params: LabradorParams, state: State,
                        proof: Transcript, crs,
                        decomp_mode: str = "reference",
                        norm_mode: str = "exact",
-                       ctx: protocol.AxisCtx | None = None) -> dict:
+                       ctx: protocol.AxisCtx | None = None,
+                       kernel_backend: str = "auto") -> dict:
     """Unjitted check pipeline (compose with shard_map — see
     parallel.sharded.make_sharded_verifier).  With ``ctx`` the three
     CRS-re-expanding checks (15, 19, 20 — the verifier's dominant cost, and
     the one site the reference parallelizes, verification.rs:372-415) shard
-    their row/contraction work over the mesh axis."""
+    their row/contraction work over the mesh axis.  ``kernel_backend`` picks
+    the fused Pallas kernels for those same three checks ('auto' = Pallas on
+    real TPUs, XLA elsewhere — same rule as prover.prove)."""
     p = params
     plan = ntt_ops.plan_for(p)
+    if kernel_backend == "auto":
+        kernel_backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    use_pallas = kernel_backend == "pallas"
     checks: dict[str, jax.Array] = {}
 
     # ---- lines 3-7: recomputation (verification.rs:38-148)
@@ -174,8 +181,12 @@ def verify_report_impl(params: LabradorParams, state: State,
     # (A re-expanded from the CRS, row-tiled for large kappa — same
     # streaming kernel as the prover's Ajtai commitment)
     z_hat = ntt_ops.ntt_fwd(proof.z, plan)                     # (P, n, d)
+    z_coeff = None
+    if use_pallas and not zq_ops.is_big(p.q):
+        z_coeff = mod_pos(proof.z, p.q)[None]                  # (1, n, d)
     lhs = zq_ops.index(
-        protocol.ajtai_commit(crs, z_hat[:, None, :, :], p, plan, ctx=ctx), 0)
+        protocol.ajtai_commit(crs, z_hat[:, None, :, :], p, plan, ctx=ctx,
+                              use_pallas=use_pallas, s_coeff=z_coeff), 0)
     c_hat = ntt_ops.ntt_fwd(proof.c, plan)                     # (P, r, d)
     t_hat = ntt_ops.ntt_fwd(proof.t, plan)                     # (P,r,kap,d)
     rhs_terms = []
@@ -250,11 +261,13 @@ def verify_report_impl(params: LabradorParams, state: State,
         checks["c18_agg_relation"] = jnp.all(mod_pos(s1 + s2 - b, p.q) == 0)
 
     # ---- check 19: recompute u1 (verification.rs:357-415)
-    u1_cand = protocol.u1_from_digits(crs, t_dig, g_dig, p, plan, ctx=ctx)
+    u1_cand = protocol.u1_from_digits(crs, t_dig, g_dig, p, plan, ctx=ctx,
+                                      use_pallas=use_pallas)
     checks["c19_u1"] = zq_ops.all_eq(u1_cand, proof.u_1)
 
     # ---- check 20: recompute u2 (verification.rs:421-434)
-    u2_cand = protocol.u2_from_digits(crs, h_dig, p, plan, ctx=ctx)
+    u2_cand = protocol.u2_from_digits(crs, h_dig, p, plan, ctx=ctx,
+                                      use_pallas=use_pallas)
     checks["c20_u2"] = zq_ops.all_eq(u2_cand, proof.u_2)
 
     # ---- b'' constant-term consistency (verification.rs:532-551; the
