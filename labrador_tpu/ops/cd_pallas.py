@@ -45,9 +45,11 @@ from .ajtai_pallas import _split8
 
 def digit_limb_ok(b: int) -> bool:
     """True when every digit of base ``b`` fits one signed int8 limb in both
-    decomposition modes: reference-mode quirky digits lie in [0, b) and
-    exact-mode centered digits in [-b//2, b//2]."""
-    return b - 1 <= 127
+    decomposition modes: reference-mode quirky digits lie in [0, b//2]
+    (centered_rep folds v > b/2 to the positive b - v, util.rs:377-387) and
+    exact-mode centered digits in [-b//2, b//2] — magnitude <= b//2 either
+    way, the same bound ops/u1_pallas asserts."""
+    return b // 2 <= 127
 
 
 def _pick_blocks(kappa_2: int, L_total: int, d: int) -> tuple[int, int]:

@@ -56,9 +56,23 @@ class FiatShamirOracle:
     seed: jax.Array  # (8,) uint32 initial sponge state
 
     @classmethod
-    def create(cls, crs_key: jax.Array) -> "FiatShamirOracle":
-        return cls(seed=hash_arrays(jnp.asarray(crs_key, jnp.uint32),
-                                    domain=DOM_INIT))
+    def create(cls, crs_key: jax.Array, state=None,
+               params=None) -> "FiatShamirOracle":
+        """Initial sponge state binds the CRS seed and — when given — the
+        statement (the State's constraint families) and the parameter set,
+        so challenges cannot be reused across statements or configs
+        (FS_SPEC.md §2).  ``state=None`` keeps the legacy CRS-only binding
+        for internal callers that bind the statement elsewhere."""
+        msgs = [jnp.asarray(crs_key, jnp.uint32)]
+        if params is not None:
+            p = params
+            msgs.append(jnp.asarray(
+                [p.q & 0xFFFFFFFF, p.q >> 32, p.d, p.n, p.r, p.kappa,
+                 p.b, p.t_1, p.b_1, p.t_2, p.b_2, p.k_count, p.l_count],
+                jnp.uint32))
+        if state is not None:
+            msgs.extend(jnp.asarray(leaf) for leaf in jax.tree.leaves(state))
+        return cls(seed=hash_arrays(*msgs, domain=DOM_INIT))
 
     def init(self) -> jax.Array:
         return self.seed

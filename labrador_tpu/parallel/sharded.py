@@ -50,7 +50,8 @@ def _row_ctx(mesh: Mesh) -> AxisCtx:
 
 def make_sharded_prover(params: LabradorParams, mesh: Mesh,
                         decomp_mode: str = "reference",
-                        oracle: str = "interactive"):
+                        oracle: str = "interactive",
+                        kernel_backend: str = "auto"):
     """Returns a jitted function
 
         fn(witness (B,r,n,d), state (B-batched pytree), crs_keys (B,2),
@@ -70,13 +71,14 @@ def make_sharded_prover(params: LabradorParams, mesh: Mesh,
     def per_instance(witness, state, crs_key, vkey):
         crs = CRS(key=crs_key, params=params)
         if oracle == "fs":
-            orc = FiatShamirOracle.create(crs_key)
+            orc = FiatShamirOracle.create(crs_key, state, params)
         elif oracle == "interactive":
             orc = InteractiveOracle(vkey=vkey)
         else:
             raise ValueError(f"unknown oracle {oracle!r}")
         return prove_impl(params, witness, state, crs, orc,
-                          decomp_mode=decomp_mode, ctx=ctx)
+                          decomp_mode=decomp_mode,
+                          kernel_backend=kernel_backend, ctx=ctx)
 
     def batched(witness_b, state_b, crs_keys_b, vkeys_b):
         return jax.vmap(per_instance)(witness_b, state_b, crs_keys_b,

@@ -43,6 +43,18 @@ def _vkey(key, tag, idx=0):
     return jax.random.fold_in(jax.random.fold_in(key, tag), idx)
 
 
+def resolve_backend(kernel_backend: str) -> str:
+    """Resolve the 'auto' kernel backend exactly once (pallas on TPU, xla
+    elsewhere).  Every prover entry point calls this before threading the
+    concrete value through all three phases, so the checkpointed/phase-split
+    runners use the same kernels as ``prove``."""
+    if kernel_backend == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+    if kernel_backend not in ("pallas", "xla"):
+        raise ValueError(f"unknown kernel_backend {kernel_backend!r}")
+    return kernel_backend
+
+
 def jl_project(key: jax.Array, witness_flat: jax.Array,
                params: LabradorParams) -> tuple[jax.Array, jax.Array, jax.Array]:
     """One JL attempt: sample ternary Pi per witness index and project.
@@ -138,8 +150,7 @@ def prove_phase1(params: LabradorParams, witness: jax.Array, state: State,
     CRS runs where the fused kernel does not apply)."""
     p = params
     plan = ntt_ops.plan_for(p)
-    if kernel_backend == "auto":
-        kernel_backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    kernel_backend = resolve_backend(kernel_backend)
     s_hat = ntt_ops.ntt_fwd(witness, plan)                # (P, r, n, d)
 
     # -- step 1: inner Ajtai commitments t_i = A s_i (proofgen.rs:41-49)
@@ -162,10 +173,14 @@ def prove_phase1(params: LabradorParams, witness: jax.Array, state: State,
 def prove_phase2(params: LabradorParams, witness: jax.Array, state: State,
                  crs, oracle, ost, ph1: dict,
                  decomp_mode: str = "reference",
+                 kernel_backend: str = "auto",
                  ctx: protocol.AxisCtx | None = None):
-    """Protocol steps 4-8: JL projection, both aggregations, h, u2."""
+    """Protocol steps 4-8: JL projection, both aggregations, h, u2.
+
+    kernel_backend as in prove_phase1 (drives the fused u2 kernel)."""
     p = params
     plan = ntt_ops.plan_for(p)
+    kernel_backend = resolve_backend(kernel_backend)
     s_hat = ntt_ops.ntt_fwd(witness, plan)
     g, u_1 = ph1["g"], ph1["u_1"]
 
@@ -293,11 +308,12 @@ def prove_impl(params: LabradorParams, witness: jax.Array, state: State,
     (prove_phase1/2/3) with an explicit carried oracle state — the same
     functions the checkpointed/profiled runner (``prove_checkpointed``)
     dispatches separately, so there is no phase-split fork either."""
+    kernel_backend = resolve_backend(kernel_backend)
     ost = oracle.init()
     ost, ph1 = prove_phase1(params, witness, state, crs, oracle, ost,
                             decomp_mode, kernel_backend, ctx)
     ost, ph2 = prove_phase2(params, witness, state, crs, oracle, ost, ph1,
-                            decomp_mode, ctx)
+                            decomp_mode, kernel_backend, ctx)
     ph3 = prove_phase3(params, witness, oracle, ost, ph2)
     return Transcript(t=ph1["t"], g=ph1["g"], u_1=ph1["u_1"],
                       **ph2, **ph3)
@@ -315,26 +331,32 @@ def prove(params: LabradorParams, witness: jax.Array, state: State,
                       kernel_backend)
 
 
-@partial(jax.jit, static_argnames=("params", "decomp_mode"))
+@partial(jax.jit, static_argnames=("params", "decomp_mode", "kernel_backend"))
 def prove_fs(params: LabradorParams, witness: jax.Array, state: State,
-             crs, decomp_mode: str = "reference") -> Transcript:
+             crs, decomp_mode: str = "reference",
+             kernel_backend: str = "auto") -> Transcript:
     """Non-interactive (Fiat-Shamir) proof: challenges derived from a
-    SHA-256 running hash of the protocol messages.  Completes the
-    reference's unfinished roadmap item (README.md:12)."""
+    SHA-256 running hash of the protocol messages, with the CRS seed,
+    parameter set, and statement bound into the initial sponge state
+    (FS_SPEC.md).  Completes the reference's unfinished roadmap item
+    (README.md:12)."""
     return prove_impl(params, witness, state, crs,
-                      FiatShamirOracle.create(crs.key), decomp_mode)
+                      FiatShamirOracle.create(crs.key, state, params),
+                      decomp_mode, kernel_backend)
 
 
-@partial(jax.jit, static_argnames=("params", "decomp_mode"))
-def _jit_phase1(params, witness, state, crs, oracle, ost, decomp_mode):
+@partial(jax.jit, static_argnames=("params", "decomp_mode", "kernel_backend"))
+def _jit_phase1(params, witness, state, crs, oracle, ost, decomp_mode,
+                kernel_backend):
     return prove_phase1(params, witness, state, crs, oracle, ost,
-                        decomp_mode)
+                        decomp_mode, kernel_backend)
 
 
-@partial(jax.jit, static_argnames=("params", "decomp_mode"))
-def _jit_phase2(params, witness, state, crs, oracle, ost, ph1, decomp_mode):
+@partial(jax.jit, static_argnames=("params", "decomp_mode", "kernel_backend"))
+def _jit_phase2(params, witness, state, crs, oracle, ost, ph1, decomp_mode,
+                kernel_backend):
     return prove_phase2(params, witness, state, crs, oracle, ost, ph1,
-                        decomp_mode)
+                        decomp_mode, kernel_backend)
 
 
 @partial(jax.jit, static_argnames=("params",))
@@ -346,6 +368,7 @@ def prove_checkpointed(params: LabradorParams, witness: jax.Array,
                        state: State, crs, verifier_key: jax.Array,
                        ckpt_path: str | None = None,
                        decomp_mode: str = "reference",
+                       kernel_backend: str = "auto",
                        timer=None) -> Transcript:
     """Phase-dispatched proving: the SAME prove_phase1/2/3 functions as
     ``prove``, but jitted and executed one phase at a time so that
@@ -361,6 +384,7 @@ def prove_checkpointed(params: LabradorParams, witness: jax.Array,
     from .utils import checkpoint
     from .utils.profiling import PhaseTimer
     p = params
+    kernel_backend = resolve_backend(kernel_backend)
     oracle = InteractiveOracle(vkey=verifier_key)
     timer = timer if timer is not None else PhaseTimer()
     ost = oracle.init()
@@ -371,14 +395,16 @@ def prove_checkpointed(params: LabradorParams, witness: jax.Array,
         meta = checkpoint.load_meta(ckpt_path)
         done = int(meta.get("phases_done", 0))
         tmpl1 = jax.eval_shape(lambda: prove_phase1(
-            p, witness, state, crs, oracle, ost, decomp_mode)[1])
+            p, witness, state, crs, oracle, ost, decomp_mode,
+            kernel_backend)[1])
         tmpl1 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), tmpl1)
         if done >= 1:
             loaded = checkpoint.load(ckpt_path, ost=ost, ph1=tmpl1)
             ost, ph1 = loaded["ost"], loaded["ph1"]
         if done >= 2:
             tmpl2 = jax.eval_shape(lambda: prove_phase2(
-                p, witness, state, crs, oracle, ost, tmpl1, decomp_mode)[1])
+                p, witness, state, crs, oracle, ost, tmpl1, decomp_mode,
+                kernel_backend)[1])
             tmpl2 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype),
                                  tmpl2)
             loaded = checkpoint.load(ckpt_path, ost=ost, ph1=tmpl1,
@@ -388,7 +414,7 @@ def prove_checkpointed(params: LabradorParams, witness: jax.Array,
     if done < 1:
         with timer.phase("p1_commitments"):
             ost, ph1 = _jit_phase1(p, witness, state, crs, oracle, ost,
-                                   decomp_mode)
+                                   decomp_mode, kernel_backend)
             jax.block_until_ready(ph1)
         if ckpt_path:
             checkpoint.save(ckpt_path, meta=dict(phases_done=1),
@@ -396,7 +422,7 @@ def prove_checkpointed(params: LabradorParams, witness: jax.Array,
     if done < 2:
         with timer.phase("p2_jl_aggregation_u2"):
             ost, ph2 = _jit_phase2(p, witness, state, crs, oracle, ost, ph1,
-                                   decomp_mode)
+                                   decomp_mode, kernel_backend)
             jax.block_until_ready(ph2)
         if ckpt_path:
             checkpoint.save(ckpt_path, meta=dict(phases_done=2),

@@ -291,14 +291,15 @@ def verify(params: LabradorParams, state: State, proof: Transcript,
 
 
 @partial(jax.jit, static_argnames=("params",))
-def fs_challenge_report(params: LabradorParams, proof: Transcript,
-                        crs) -> dict:
+def fs_challenge_report(params: LabradorParams, state: State,
+                        proof: Transcript, crs) -> dict:
     """Non-interactive verification of challenge provenance: re-derive
-    every challenge from the SHA-256 transcript hash and compare against
+    every challenge from the SHA-256 transcript hash — seeded with the CRS
+    seed, parameters, and statement (FS_SPEC.md §2) — and compare against
     the proof.  Together with verify_report this makes the proof
     self-contained (no trusted verifier randomness)."""
     p = params
-    oracle = FiatShamirOracle.create(crs.key)
+    oracle = FiatShamirOracle.create(crs.key, state, params)
     checks: dict[str, jax.Array] = {}
 
     ost = oracle.init()
@@ -362,5 +363,5 @@ def verify_fs(params: LabradorParams, state: State, proof: Transcript,
     """Full non-interactive verification: the 14 protocol checks, the b''
     constant-term check, and Fiat-Shamir challenge provenance."""
     rep = verify_report(params, state, proof, crs, **kw)
-    fs = fs_challenge_report(params, proof, crs)
+    fs = fs_challenge_report(params, state, proof, crs)
     return bool(rep["all_with_bpp"]) and bool(fs["fs_all"])

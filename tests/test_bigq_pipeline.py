@@ -186,8 +186,8 @@ def test_fs_jl_norm_wrap_rejected(big_setup):
     precheck (|p_i| <= sqrt(128)*beta) must reject it (ADVICE r1 high)."""
     p, w, state, crs, kv, proof = big_setup
     forged = zq.from_signed(jnp.full((256,), 1 << 28, jnp.int32), p.q)
-    fs = verifier.fs_challenge_report(p, proof.replace(projection=forged),
-                                      crs)
+    fs = verifier.fs_challenge_report(p, state,
+                                      proof.replace(projection=forged), crs)
     assert not bool(np.asarray(fs["fs_jl_norm"]))
     # sanity: the wrap really happens (raw sum compares below the bound)
     from labrador_tpu.ops.modmath import sum_sq_u64, u64_leq_const

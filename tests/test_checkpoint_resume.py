@@ -59,7 +59,7 @@ def test_resume_mid_proof(setup, tmp_path):
     oracle = InteractiveOracle(vkey=kv)
     ost = oracle.init()
     ost, ph1 = prover._jit_phase1(P, witness, state, crs, oracle, ost,
-                                  "reference")
+                                  "reference", "xla")
     checkpoint.save(path, meta=dict(phases_done=1), ost=ost, ph1=ph1)
     assert checkpoint.load_meta(path)["phases_done"] == 1
 

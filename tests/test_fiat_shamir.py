@@ -32,8 +32,8 @@ def test_fs_proof_accepts(setup):
 
 
 def test_fs_challenges_match(setup):
-    _, _, crs, proof = setup
-    fs = verifier.fs_challenge_report(P, proof, crs)
+    _, state, crs, proof = setup
+    fs = verifier.fs_challenge_report(P, state, proof, crs)
     failed = [k for k, v in fs.items() if not bool(v)]
     assert not failed, failed
 
@@ -42,7 +42,7 @@ def test_fs_rejects_forged_challenge(setup):
     """A prover cannot substitute its own challenge c."""
     _, state, crs, proof = setup
     bad_c = mod_pos(proof.c.at[0, 0].add(1), P.q)
-    fs = verifier.fs_challenge_report(P, proof.replace(c=bad_c), crs)
+    fs = verifier.fs_challenge_report(P, state, proof.replace(c=bad_c), crs)
     assert not bool(fs["fs_challenge"])
 
 
@@ -50,7 +50,7 @@ def test_fs_rejects_tampered_u1_derivation(setup):
     """Changing u1 changes every downstream challenge derivation."""
     _, state, crs, proof = setup
     bad_u1 = mod_pos(proof.u_1.at[0, 0].add(1), P.q)
-    fs = verifier.fs_challenge_report(P, proof.replace(u_1=bad_u1), crs)
+    fs = verifier.fs_challenge_report(P, state, proof.replace(u_1=bad_u1), crs)
     assert not bool(fs["fs_all"])
 
 
@@ -60,6 +60,19 @@ def test_fs_deterministic(setup):
     proof2 = prover.prove_fs(P, witness, state, crs)
     np.testing.assert_array_equal(np.asarray(proof.c), np.asarray(proof2.c))
     np.testing.assert_array_equal(np.asarray(proof.z), np.asarray(proof2.z))
+
+
+def test_fs_statement_binding(setup):
+    """A proof is bound to its statement: re-deriving the challenges under
+    a DIFFERENT state (same CRS, same transcript) must fail provenance —
+    the initial sponge state absorbs the constraint families (FS_SPEC.md
+    §2), so challenges cannot be transplanted across statements."""
+    witness, state, crs, proof = setup
+    other = structs.generate_state(jax.random.key(4242), witness, P)
+    fs = verifier.fs_challenge_report(P, other, proof, crs)
+    assert not bool(fs["fs_all"])
+    # every post-seed challenge diverges, not just one
+    assert not bool(fs["fs_psi"]) and not bool(fs["fs_challenge"])
 
 
 def test_interactive_and_fs_differ(setup):

@@ -76,7 +76,7 @@ def test_sharded_matches_single_chip_fs(params, decomp):
     _assert_transcripts_equal(got, want, 0)
     # and FS challenge provenance holds on the sharded transcript
     proof0 = jax.tree.map(lambda x: x[0], got)
-    fs = verifier.fs_challenge_report(params, proof0, crs)
+    fs = verifier.fs_challenge_report(params, state, proof0, crs)
     failed = [k for k, v in fs.items() if not bool(np.asarray(v))]
     assert not failed, failed
 
