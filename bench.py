@@ -28,50 +28,92 @@ def _stderr(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def bench_polymul(batch: int = 100_000, iters: int = 20,
-                  use_pallas: bool = False) -> float:
-    """Rq polymul ops/s (steady state, compile excluded)."""
+def bench_polymul(batch: int = 65_536, scan_len: int = 1024,
+                  iters: int = 4, use_pallas: bool = False) -> float:
+    """Rq polymul products/s (steady state, compile excluded).
+
+    Methodology (round 3, supersedes r1/r2): ONE product is only ~147K int8
+    MACs, so at any plausible rate a (batch, d) dispatch is well under a
+    millisecond of device work — host-side timing of per-dispatch calls
+    measures the dispatch pipeline and the remote-TPU relay (which also
+    dedupes repeated identical executions), not the chip.  Here the batch
+    loop runs ON DEVICE: one dispatch scans ``scan_len`` multiplications of
+    a (batch, d) block, tweaking the inputs every step (a XOR-fold of the
+    previous output, so no two steps multiply identical tensors and XLA
+    cannot CSE), and XOR-folds the outputs into a carry the caller fetches.
+    Each dispatch is then batch*scan_len products (~100 ms+ of real device
+    work at the roofline) and the timing is device-bound.
+    """
     import jax
     import jax.numpy as jnp
     from labrador_tpu.params import LabradorParams
     from labrador_tpu.ops import ntt
+    from labrador_tpu.ops.modmath import mod_pos
+    import labrador_tpu.sampling as sampling
 
     p = LabradorParams(n=2, r=2)
     plan = ntt.plan_for(p)
-    key = jax.random.key(0)
-    import labrador_tpu.sampling as sampling
-    a = sampling.uniform_zq(key, (batch, p.d), p.q)
-    b = sampling.uniform_zq(jax.random.fold_in(key, 1), (batch, p.d), p.q)
-
     if use_pallas:
         from labrador_tpu.ops import ntt_pallas
-        f = jax.jit(lambda a, b: ntt_pallas.negacyclic_polymul_pallas(
-            a, b, plan))
+        mul = lambda a, b: ntt_pallas.negacyclic_polymul_pallas(a, b, plan)
     else:
-        f = jax.jit(lambda a, b: ntt.negacyclic_polymul(a, b, plan))
-    # distinct input pairs per iteration so no layer (XLA, runtime relays)
-    # can dedupe repeated identical computations
-    pairs = [(a, b)] + [
-        (sampling.uniform_zq(jax.random.fold_in(key, 10 + i), (batch, p.d), p.q),
-         sampling.uniform_zq(jax.random.fold_in(key, 20 + i), (batch, p.d), p.q))
-        for i in range(3)]
-    r = f(a, b)
-    jax.block_until_ready(r)  # compile + warm
-    t0 = time.perf_counter()
-    outs = []
+        mul = lambda a, b: ntt.negacyclic_polymul(a, b, plan)
+
+    def run(key):
+        ka, kb = jax.random.split(key)
+        a = sampling.uniform_zq(ka, (batch, p.d), p.q)
+        b = sampling.uniform_zq(kb, (batch, p.d), p.q)
+
+        def body(carry, _):
+            aj = mod_pos(a ^ carry, p.q)      # distinct input every step
+            out = mul(aj, b)
+            return carry ^ out, None
+
+        carry, _ = jax.lax.scan(body, jnp.zeros((batch, p.d), jnp.int32),
+                                None, length=scan_len)
+        return carry
+
+    f = jax.jit(run)
+    jax.block_until_ready(f(jax.random.key(999)))   # compile + warm
+    rates = []
     for i in range(iters):
-        ai, bi = pairs[i % len(pairs)]
-        outs.append(f(ai, bi))
-    jax.block_until_ready(outs)
-    dt = (time.perf_counter() - t0) / iters
-    return batch / dt
+        t0 = time.perf_counter()
+        jax.block_until_ready(f(jax.random.key(i)))
+        rates.append(batch * scan_len / (time.perf_counter() - t0))
+    _stderr(f"polymul passes ({batch}x{scan_len} products/dispatch): "
+            + ", ".join(f"{r:,.0f}" for r in rates) + " ops/s")
+    rates.sort()
+    return rates[len(rates) // 2]                   # median
 
 
-def bench_e2e(n: int = 2, r: int = 2, iters: int = 3) -> dict:
-    """Full prove+verify wall clock (steady state) + proof size."""
+def _checksum(tree):
+    """Tiny scalar depending on every leaf — fetched to force execution
+    (the axon relay's block_until_ready acks enqueue, not completion)."""
     import jax
+    import jax.numpy as jnp
+    acc = jnp.int32(0)
+    for leaf in jax.tree.leaves(tree):
+        acc = acc ^ jnp.sum(leaf.astype(jnp.int32) if leaf.dtype != jnp.int32
+                            else leaf, dtype=jnp.int32)
+    return acc
+
+
+def bench_e2e(n: int = 2, r: int = 2, iters: int = 8) -> dict:
+    """Full prove+verify steady state + proof size.
+
+    Methodology (round 3): the per-proof device time is measured with the
+    iteration loop ON DEVICE (lax.scan over distinct verifier keys /
+    distinct proofs), one dispatch per measurement, timed enqueue->fetch of
+    a checksum.  Host-side per-call loops measure the dispatch pipeline and
+    the remote relay (which acks before completion and dedupes identical
+    dispatches), not the chip — see PERF.md.
+    """
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
     from labrador_tpu.params import LabradorParams
     from labrador_tpu import sampling, structs, prover, verifier
+    from labrador_tpu.oracle import InteractiveOracle
     from labrador_tpu.crs import CRS
 
     p = LabradorParams(n=n, r=r)
@@ -81,21 +123,44 @@ def bench_e2e(n: int = 2, r: int = 2, iters: int = 3) -> dict:
     state = structs.generate_state(ks, witness, p)
     crs = CRS.create(p, seed=0x1234_5678_9ABC_DEF0)
 
-    proof = jax.block_until_ready(prover.prove(p, witness, state, crs, kv))
-    rep = jax.block_until_ready(verifier.verify_report(p, state, proof, crs))
-    assert bool(rep["all"]), "bench proof failed verification"
+    proof = prover.prove(p, witness, state, crs, kv)
+    rep = verifier.verify_report(p, state, proof, crs)
+    assert bool(np.asarray(rep["all"])), "bench proof failed verification"
 
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        proof = prover.prove(p, witness, state, crs, kv)
-    jax.block_until_ready(proof)
-    t_prove = (time.perf_counter() - t0) / iters
+    @jax.jit
+    def prove_loop(k):
+        def body(carry, i):
+            pf = prover.prove_impl(
+                p, witness, state, crs,
+                InteractiveOracle(vkey=jax.random.fold_in(k, i)))
+            return carry ^ _checksum(pf), None
+        acc, _ = jax.lax.scan(body, jnp.int32(0), jnp.arange(iters))
+        return acc
 
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        rep = verifier.verify_report(p, state, proof, crs)
-    jax.block_until_ready(rep["all"])
-    t_verify = (time.perf_counter() - t0) / iters
+    # distinct proofs for the verify loop (distinct challenges per proof)
+    proofs = [prover.prove(p, witness, state, crs, jax.random.fold_in(kv, i))
+              for i in range(4)]
+    proofs_b = jax.tree.map(lambda *xs: jnp.stack(xs), *proofs)
+
+    @jax.jit
+    def verify_loop(proofs_b):
+        def body(carry, pf):
+            rep = verifier.verify_report_impl(p, state, pf, crs)
+            return carry ^ _checksum(rep), None
+        acc, _ = jax.lax.scan(body, jnp.int32(0), proofs_b)
+        return acc
+
+    def timed(f, arg, per):
+        _ = np.asarray(f(arg))                   # compile + warm
+        best = float("inf")
+        for _i in range(2):
+            t0 = time.perf_counter()
+            _ = np.asarray(f(arg))
+            best = min(best, (time.perf_counter() - t0) / per)
+        return best
+
+    t_prove = timed(prove_loop, kv, iters)
+    t_verify = timed(verify_loop, proofs_b, 4)
 
     size = structs.transcript_size_in_bytes(jax.device_get(proof), p.q)
     return {"prove_s": t_prove, "verify_s": t_verify,
@@ -124,19 +189,24 @@ def bench_batch_prove(batch: int = 16, n: int = 2, r: int = 2,
                           for i in range(batch)])
     vkeys = jnp.stack([keys[i][2] for i in range(batch)])
 
+    import numpy as np
+
     def one(w, st, ck, vk):
         crs = CRS(key=ck, params=p)
         return prove_impl(p, w, st, crs, InteractiveOracle(vkey=vk))
 
-    f = jax.jit(jax.vmap(one))
-    out = f(wit, state_b, crs_keys, vkeys)
-    jax.block_until_ready(out)
+    @jax.jit
+    def run(vkeys):
+        def body(carry, i):
+            vks = jax.vmap(lambda k: jax.random.fold_in(k, i))(vkeys)
+            out = jax.vmap(one)(wit, state_b, crs_keys, vks)
+            return carry ^ _checksum(out), None
+        acc, _ = jax.lax.scan(body, jnp.int32(0), jnp.arange(iters))
+        return acc
+
+    _ = np.asarray(run(vkeys))                  # compile + warm (fetched)
     t0 = time.perf_counter()
-    outs = []
-    for i in range(iters):
-        outs.append(f(wit, state_b, crs_keys,
-                      jax.vmap(lambda k: jax.random.fold_in(k, i))(vkeys)))
-    jax.block_until_ready(outs)
+    _ = np.asarray(run(jax.vmap(lambda k: jax.random.fold_in(k, 9))(vkeys)))
     dt = (time.perf_counter() - t0) / iters
     return batch / dt
 
@@ -167,14 +237,18 @@ def main():
     import jax
     _stderr(f"devices: {jax.devices()}")
 
-    batch = 10_000 if args.quick else 100_000
-    iters = 3 if args.quick else 20
     # default: fused Pallas kernel on real TPUs, XLA path elsewhere
     on_tpu = jax.devices()[0].platform != "cpu"
     use_pallas = (args.pallas or on_tpu) and not args.no_pallas
-    ops = bench_polymul(batch=batch, iters=iters, use_pallas=use_pallas)
+    if on_tpu:
+        batch, scan_len = 65_536, (64 if args.quick else 2048)
+    else:
+        batch, scan_len = 8_192, (2 if args.quick else 8)
+    iters = 2 if args.quick else 4
+    ops = bench_polymul(batch=batch, scan_len=scan_len, iters=iters,
+                        use_pallas=use_pallas)
     _stderr(f"polymul ({'pallas' if use_pallas else 'xla'}): "
-            f"{ops:,.0f} ops/s (batch={batch})")
+            f"{ops:,.0f} ops/s (batch={batch} x scan {scan_len})")
 
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "bench_baseline.json")

@@ -37,7 +37,9 @@ def main():
     p = LabradorParams(n=args.n, r=args.r, kappa_override=args.kappa)
     plan = ntt.plan_for(p)
     crs = CRS.create(p, seed=0xBE7C)
-    keys = [jax.random.key(100 + i) for i in range(4)]
+    # a DISTINCT witness for every timed iteration — the axon relay dedupes
+    # repeated identical (program, args) dispatches (PERF.md methodology)
+    keys = [jax.random.key(100 + i) for i in range(args.iters + 2)]
     ws = [sampling.generate_witness(k, p) for k in keys]
     print(f"shape: kappa={p.kappa} n={p.n} r={p.r} q={p.q} "
           f"primes={len(plan.primes)}", flush=True)

@@ -50,7 +50,8 @@ def main():
         d = (d + d.transpose(0, 2, 1, 3)) // 2          # symmetric like h
         return jnp.asarray(np.mod(d, p.q), jnp.int32)
 
-    digs = [mk_h_dig(i) for i in range(4)]
+    # distinct stream per timed iteration (relay dedupe — PERF.md)
+    digs = [mk_h_dig(i) for i in range(args.iters + 1)]
 
     fx = jax.jit(lambda h: protocol.u2_from_digits(crs, h, p, plan))
     fp = jax.jit(lambda h: protocol.u2_from_digits(crs, h, p, plan,

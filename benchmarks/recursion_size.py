@@ -29,8 +29,8 @@ def main():
         os.environ.pop("PALLAS_AXON_POOL_IPS", None)
         import jax
         jax.config.update("jax_platforms", "cpu")
-        jax.config.update("jax_compilation_cache_dir",
-                          "/root/.cache/jax_comp")
+        from labrador_tpu.utils.compile_cache import enable_persistent_cache
+        enable_persistent_cache()
     import jax
     from labrador_tpu.params import LabradorParams
     from labrador_tpu import sampling, structs, prover, verifier, recursion

@@ -45,9 +45,9 @@ def main():
     import jax
     if args.cpu:
         # NOTE: the persistent compile cache hangs the axon TPU backend;
-        # CPU only.
-        jax.config.update("jax_compilation_cache_dir",
-                          "/root/.cache/jax_comp")
+        # CPU only.  zlib-pinned — see utils/compile_cache docstring.
+        from labrador_tpu.utils.compile_cache import enable_persistent_cache
+        enable_persistent_cache()
 
     from labrador_tpu.params import LabradorParams
     from labrador_tpu import sampling, structs, prover, verifier

@@ -49,6 +49,13 @@ def decompose(x: jax.Array, base: int, ndigits: int,
             dig = jnp.where(d0 > half, b - d0, d0)
         elif mode == "exact":
             dig = jnp.where(d0 > half, d0 - b, d0)
+            if b % 2 == 0:
+                # even base: d0 == b/2 is the redundant digit (+-b/2 both
+                # valid).  Pick the sign of the remaining value so the
+                # residual shrinks toward 0 — with a fixed +b/2 the base-2
+                # residual of a negative value sticks at -1 forever and the
+                # truncated reconstruction is off by b^ndigits.
+                dig = jnp.where((d0 == half) & (c < 0), d0 - b, dig)
         else:
             raise ValueError(f"unknown decompose mode {mode!r}")
         digits.append(dig)

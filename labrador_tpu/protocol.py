@@ -287,22 +287,25 @@ def u1_from_digits(crs, t_dig: jax.Array, g_dig: jax.Array,
     P = len(plan.primes)
     m_total = p.r * p.t_1
 
-    if use_pallas and ctx is None and not zq_ops.is_big(p.q) \
+    if use_pallas and ctx is None \
             and type(crs).__name__ != "MaterializedCRS":
-        from .ops.cd_pallas import cd_sum_pallas, digit_limb_ok
-        if digit_limb_ok(p.b_1):
+        from .ops.cd_pallas import cd_sum_pallas
+        from .ops.ajtai_pallas import digit_limbs
+        if digit_limbs(p.b_1) <= 2:
             # fused kernels: PRG + circulant MXU matmul in VMEM for the
-            # B-term (ops/u1_pallas) and the C-term (ops/cd_pallas)
+            # B-term (ops/u1_pallas) and the C-term (ops/cd_pallas); 1
+            # int8 digit limb at reference moduli, 2 at big q
             from .ops.u1_pallas import u1_bterm_pallas
             bterm = u1_bterm_pallas(crs.key, t_dig, p, plan)  # (k1,d) mod q
-            if digit_limb_ok(p.b_2):
+            if digit_limbs(p.b_2) <= 2:
                 cterm = cd_sum_pallas(crs.key, _tri_stream(g_dig, p),
-                                      crs._off_c, p.t_2, p, plan)
+                                      crs._off_c, p.t_2, p, plan,
+                                      digit_base=p.b_2)
             else:
                 cterm = ntt_ops.ntt_inv_modq(
                     u1_rhs_hat(crs, g_dig, p, plan), plan)
-            return mod_pos(bterm + cterm, p.q)
-        # digits beyond one int8 limb: fall through to the XLA path
+            return zq_ops.add(bterm, cterm, p.q)
+        # digits beyond two int8 limbs: fall through to the XLA path
 
     t_stream = jnp.swapaxes(t_dig, 0, 1).reshape(m_total, p.kappa, p.d)
 
@@ -452,12 +455,13 @@ def u2_from_digits(crs, h_dig: jax.Array, params: LabradorParams,
     ``use_pallas``: fused PRG + circulant MXU kernel (ops/cd_pallas)."""
     p = params
     h_stream = _tri_stream(h_dig, p)                            # (tri, t1, d)
-    if use_pallas and ctx is None and not zq_ops.is_big(p.q) \
+    if use_pallas and ctx is None \
             and type(crs).__name__ != "MaterializedCRS":
-        from .ops.cd_pallas import cd_sum_pallas, digit_limb_ok
-        if digit_limb_ok(p.b_1):
+        from .ops.cd_pallas import cd_sum_pallas
+        from .ops.ajtai_pallas import digit_limbs
+        if digit_limbs(p.b_1) <= 2:
             return cd_sum_pallas(crs.key, h_stream, crs._off_d, p.t_1,
-                                 p, plan)
+                                 p, plan, digit_base=p.b_1)
     if ctx is not None:
         part = _cd_sharded_partial(crs, crs._off_d, h_stream,
                                    h_stream.shape[0], p.t_1, p, plan, ctx)
@@ -507,11 +511,14 @@ def ajtai_commit(crs, s_hat: jax.Array, params: LabradorParams,
     With ``ctx``: row-sharded — each device expands only its own kappa-row
     block of A, computes its slice of t, and an all_gather over ``ctx.axis``
     assembles the transcript tensor."""
-    if use_pallas and ctx is None and not zq_ops.is_big(params.q) \
+    if use_pallas and ctx is None \
             and type(crs).__name__ != "MaterializedCRS":
         from .ops.ajtai_pallas import ajtai_commit_pallas
         if s_coeff is None:
             s_coeff = ntt_ops.ntt_inv_modq(s_hat, plan)
+        if zq_ops.is_big(params.q) and isinstance(s_coeff, zq_ops.Zq2):
+            # kernel consumes the signed-int32 big-q witness convention
+            s_coeff = zq_ops.to_signed_small(s_coeff, params.q)
         return ajtai_commit_pallas(crs.key, s_coeff, params, plan)
     p = params
     st = jnp.swapaxes(s_hat, -3, -2)                       # (P, n, r, d)

@@ -382,6 +382,7 @@ def prove_checkpointed(params: LabradorParams, witness: jax.Array,
     Bit-identical to ``prove`` — the phases ARE the prover.
     """
     from .utils import checkpoint
+    from .utils import profiling
     from .utils.profiling import PhaseTimer
     p = params
     kernel_backend = resolve_backend(kernel_backend)
@@ -415,7 +416,7 @@ def prove_checkpointed(params: LabradorParams, witness: jax.Array,
         with timer.phase("p1_commitments"):
             ost, ph1 = _jit_phase1(p, witness, state, crs, oracle, ost,
                                    decomp_mode, kernel_backend)
-            jax.block_until_ready(ph1)
+            profiling.wait_for(ph1)
         if ckpt_path:
             checkpoint.save(ckpt_path, meta=dict(phases_done=1),
                             ost=ost, ph1=ph1)
@@ -423,11 +424,11 @@ def prove_checkpointed(params: LabradorParams, witness: jax.Array,
         with timer.phase("p2_jl_aggregation_u2"):
             ost, ph2 = _jit_phase2(p, witness, state, crs, oracle, ost, ph1,
                                    decomp_mode, kernel_backend)
-            jax.block_until_ready(ph2)
+            profiling.wait_for(ph2)
         if ckpt_path:
             checkpoint.save(ckpt_path, meta=dict(phases_done=2),
                             ost=ost, ph1=ph1, ph2=ph2)
     with timer.phase("p3_opening"):
         ph3 = _jit_phase3(p, witness, oracle, ost, ph2)
-        jax.block_until_ready(ph3)
+        profiling.wait_for(ph3)
     return Transcript(t=ph1["t"], g=ph1["g"], u_1=ph1["u_1"], **ph2, **ph3)

@@ -12,11 +12,28 @@ import json
 import time
 
 import jax
+import numpy as np
+
+
+def wait_for(tree) -> None:
+    """Wait until the computation producing ``tree`` has actually run.
+
+    ``jax.block_until_ready`` is NOT sufficient on the axon remote-TPU
+    backend: the relay acks enqueue, not completion (measured: block
+    returned in 0.5 ms on a 240 s computation — PERF.md methodology).
+    Fetching any output buffer of the program forces real completion, so
+    this fetches the smallest leaf (plus block_until_ready for backends
+    where it is correct and fetch-free)."""
+    leaves = [x for x in jax.tree.leaves(tree) if hasattr(x, "dtype")]
+    if leaves:
+        np.asarray(min(leaves, key=lambda x: x.size))
+    jax.block_until_ready(tree)
 
 
 class PhaseTimer:
-    """Collects named phase durations; blocks on device completion so the
-    numbers are real compute times, not dispatch times."""
+    """Collects named phase durations; forces device completion
+    (``wait_for``) so the numbers are real compute times, not dispatch
+    times."""
 
     def __init__(self):
         self.phases: dict[str, float] = {}
@@ -26,7 +43,7 @@ class PhaseTimer:
         t0 = time.perf_counter()
         yield
         if block_on:
-            jax.block_until_ready(block_on)
+            wait_for(block_on)
         self.phases[name] = self.phases.get(name, 0.0) + (
             time.perf_counter() - t0)
 

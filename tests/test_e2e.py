@@ -43,7 +43,7 @@ def test_verify_accepts(setup):
 def test_verify_rejects_tampered_z(setup):
     _, state, crs, proof = setup
     bad = proof.replace(z=mod_pos(proof.z.at[0, 3].add(1), P.q))
-    rep = verifier.verify_report(P, state, proof.replace(z=bad.z), crs)
+    rep = verifier.verify_report(P, state, bad, crs)
     assert not bool(rep["all"])
     assert not bool(rep["c15_az_vs_ct"])  # A z != sum c_i t_i
 

@@ -174,3 +174,54 @@ def test_fused_ajtai_kc_chunked():
     with pltpu.force_tpu_interpret_mode():
         got = np.asarray(ajtai_commit_pallas(crs.key, w, p, plan))
     np.testing.assert_array_equal(got, want)
+
+
+def test_fused_kernels_bigq_match_xla():
+    """Big-q (2^32-scale) fused kernels: in-kernel Barrett on the PRG
+    words + multi-limb int8 circulants must stay bit-identical to the XLA
+    streaming paths (ROADMAP item 4, round 3)."""
+    import jax
+    from labrador_tpu import sampling, protocol
+    from labrador_tpu.crs import CRS
+    from labrador_tpu.ops import zq as zq_ops
+    from labrador_tpu.ops.ajtai_pallas import ajtai_commit_pallas, digit_limbs
+
+    p = LabradorParams(n=2, r=2, q_start=(1 << 32) - 1, kappa_override=16,
+                       exact_digits=True)
+    assert zq_ops.is_big(p.q)
+    plan = ntt.plan_for(p)
+    w = sampling.generate_witness(jax.random.key(77), p)
+    s_hat = ntt.ntt_fwd(w, plan)
+    crs = CRS.create(p, seed=0xB16B16)
+
+    def eq(a, b, msg):
+        np.testing.assert_array_equal(np.asarray(a.hi), np.asarray(b.hi),
+                                      err_msg=msg)
+        np.testing.assert_array_equal(np.asarray(a.lo), np.asarray(b.lo),
+                                      err_msg=msg)
+
+    # Ajtai
+    want_t = protocol.ajtai_commit(crs, s_hat, p, plan)
+    with pltpu.force_tpu_interpret_mode():
+        got_t = ajtai_commit_pallas(crs.key, w, p, plan)
+    eq(got_t, want_t, "ajtai big-q")
+
+    # u1 (B-term via u1_pallas + C-term via cd_pallas) and u2 (cd_pallas);
+    # the fused route engages whenever the digits fit two int8 limbs
+    assert digit_limbs(p.b_1) <= 2 and digit_limbs(p.b_2) <= 2, \
+        (p.b_1, p.b_2)
+    t_dig = protocol.decompose_t(want_t, p, "exact")
+    g = ntt.ntt_inv_modq(protocol.gram_hat(s_hat, plan), plan)
+    g_dig = protocol.decompose_g(g, p, "exact")
+    want_u1 = protocol.u1_from_digits(crs, t_dig, g_dig, p, plan)
+    with pltpu.force_tpu_interpret_mode():
+        got_u1 = protocol.u1_from_digits(crs, t_dig, g_dig, p, plan,
+                                         use_pallas=True)
+    eq(got_u1, want_u1, "u1 big-q")
+
+    h_dig = protocol.decompose_h(g, p, "exact")   # any (t1, r, r, d)
+    want_u2 = protocol.u2_from_digits(crs, h_dig, p, plan)
+    with pltpu.force_tpu_interpret_mode():
+        got_u2 = protocol.u2_from_digits(crs, h_dig, p, plan,
+                                         use_pallas=True)
+    eq(got_u2, want_u2, "u2 big-q")

@@ -120,7 +120,24 @@ def test_folded_residual_streamed(folded_structured):
 def test_structured_prove_verify_two_levels(folded_structured):
     """Prove + full verify on the structured folded instance, then fold
     THAT proof again (level 2) and prove + verify it — multi-level
-    recursion with no dense relation anywhere."""
+    recursion with no dense relation anywhere.
+
+    Runs in a fresh subprocess: XLA segfaults (compile or
+    executable-serialize, reproducibly, at this test) on the level-2
+    prove/verify programs (~150 MB serialized) when the suite process has
+    been running for a while; a fresh interpreter compiles and runs them
+    fine every time."""
+    import os
+    import subprocess
+    import sys
+    if os.environ.get("LABRADOR_TWO_LEVEL_INPROC") != "1":
+        res = subprocess.run(
+            [sys.executable, "-m", "pytest", "-q", "-x",
+             __file__ + "::test_structured_prove_verify_two_levels"],
+            env={**os.environ, "LABRADOR_TWO_LEVEL_INPROC": "1"},
+            capture_output=True, text=True, timeout=3600)
+        assert res.returncode == 0, (res.stdout[-3000:], res.stderr[-2000:])
+        return
     p1, w1, st1, _ = folded_structured
     crs1 = CRS.create(p1, seed=0x5EC0)
     proof1 = prover.prove(p1, w1, st1, crs1, jax.random.key(99),
