@@ -28,11 +28,22 @@ def _stderr(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+# Roofline guard for the headline metric.  One d=64 negacyclic product on
+# the CRT/circulant MXU path is ~3 primes x 4 int8 limb-dots x 64x64 MACs
+# = 49,152 int8 MACs; a v5e chip peaks at ~394 int8 TOPS.  Any measured
+# rate whose implied MAC throughput exceeds the chip peak is a measurement
+# artifact (round 3 committed 227 G ops/s = 28x the roofline because
+# ``jax.block_until_ready`` on the axon relay acks enqueue, not
+# completion), so the bench REFUSES to report one.
+MACS_PER_PRODUCT = 49_152
+V5E_INT8_MACS_PER_S = 394e12
+
+
 def bench_polymul(batch: int = 65_536, scan_len: int = 1024,
                   iters: int = 4, use_pallas: bool = False) -> float:
     """Rq polymul products/s (steady state, compile excluded).
 
-    Methodology (round 3, supersedes r1/r2): ONE product is only ~147K int8
+    Methodology (round 4, supersedes r1-r3): ONE product is only ~49K int8
     MACs, so at any plausible rate a (batch, d) dispatch is well under a
     millisecond of device work — host-side timing of per-dispatch calls
     measures the dispatch pipeline and the remote-TPU relay (which also
@@ -40,10 +51,15 @@ def bench_polymul(batch: int = 65_536, scan_len: int = 1024,
     loop runs ON DEVICE: one dispatch scans ``scan_len`` multiplications of
     a (batch, d) block, tweaking the inputs every step (a XOR-fold of the
     previous output, so no two steps multiply identical tensors and XLA
-    cannot CSE), and XOR-folds the outputs into a carry the caller fetches.
-    Each dispatch is then batch*scan_len products (~100 ms+ of real device
-    work at the roofline) and the timing is device-bound.
+    cannot CSE), and XOR-folds the outputs into a scalar checksum.  Each
+    dispatch is then batch*scan_len products (~1 s of real device work at
+    the roofline) and — crucially — each timing FETCHES the checksum:
+    ``jax.block_until_ready`` is NOT a completion barrier on the axon
+    relay (it acks enqueue — utils/profiling.wait_for), which is exactly
+    how round 3 committed a 28x-over-roofline number.  Fetching an output
+    buffer is the only wait that measures the chip.
     """
+    import numpy as np
     import jax
     import jax.numpy as jnp
     from labrador_tpu.params import LabradorParams
@@ -71,19 +87,28 @@ def bench_polymul(batch: int = 65_536, scan_len: int = 1024,
 
         carry, _ = jax.lax.scan(body, jnp.zeros((batch, p.d), jnp.int32),
                                 None, length=scan_len)
-        return carry
+        return jnp.sum(carry, dtype=jnp.int32)  # tiny fetchable checksum
 
     f = jax.jit(run)
-    jax.block_until_ready(f(jax.random.key(999)))   # compile + warm
+    np.asarray(f(jax.random.key(999)))          # compile + warm (fetched)
     rates = []
     for i in range(iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(f(jax.random.key(i)))
+        np.asarray(f(jax.random.key(i)))        # enqueue -> FETCH
         rates.append(batch * scan_len / (time.perf_counter() - t0))
     _stderr(f"polymul passes ({batch}x{scan_len} products/dispatch): "
             + ", ".join(f"{r:,.0f}" for r in rates) + " ops/s")
+    if max(rates) > 1.25 * min(rates):
+        _stderr("WARNING: polymul passes vary >25% — treat with suspicion")
     rates.sort()
-    return rates[len(rates) // 2]                   # median
+    med = rates[len(rates) // 2]                # median
+    if med * MACS_PER_PRODUCT > V5E_INT8_MACS_PER_S:
+        raise RuntimeError(
+            f"measured {med:,.0f} products/s implies "
+            f"{med * MACS_PER_PRODUCT / 1e12:,.0f} int8 TMAC/s > the "
+            f"{V5E_INT8_MACS_PER_S/1e12:.0f} TOPS v5e peak — timing is "
+            "not device-bound (enqueue-ack?); refusing to report it")
+    return med
 
 
 def _checksum(tree):

@@ -33,6 +33,7 @@ def main():
     from labrador_tpu import sampling, protocol
     from labrador_tpu.crs import CRS
     from labrador_tpu.ops.ajtai_pallas import ajtai_commit_pallas
+    from labrador_tpu.utils.profiling import wait_for
 
     p = LabradorParams(n=args.n, r=args.r, kappa_override=args.kappa)
     plan = ntt.plan_for(p)
@@ -54,10 +55,12 @@ def main():
         return ajtai_commit_pallas(key, w, p, plan)
 
     t0 = time.time()
-    r_x = jax.block_until_ready(xla_path(crs, ws[0]))
+    r_x = xla_path(crs, ws[0])
+    wait_for(r_x)                 # fetch-based (axon block == enqueue ack)
     print(f"xla compile+run: {time.time()-t0:.1f}s", flush=True)
     t0 = time.time()
-    r_p = jax.block_until_ready(pallas_path(crs.key, ws[0]))
+    r_p = pallas_path(crs.key, ws[0])
+    wait_for(r_p)
     print(f"pallas compile+run: {time.time()-t0:.1f}s", flush=True)
     import numpy as np
     np.testing.assert_array_equal(np.asarray(r_x), np.asarray(r_p))
@@ -65,11 +68,11 @@ def main():
 
     for name, f, arg0 in (("xla", xla_path, crs),
                           ("pallas", pallas_path, crs.key)):
-        outs = [jax.block_until_ready(f(arg0, ws[1]))]
+        wait_for(f(arg0, ws[1]))  # warm
         t0 = time.perf_counter()
-        for i in range(args.iters):
-            outs.append(f(arg0, ws[i % len(ws)]))
-        jax.block_until_ready(outs)
+        outs = [f(arg0, ws[i % len(ws)]) for i in range(args.iters)]
+        for o in outs:            # fetch one leaf per dispatch
+            wait_for(o)
         dt = (time.perf_counter() - t0) / args.iters * 1e3
         print(f"{name}: {dt:.2f} ms / commitment", flush=True)
 
@@ -94,19 +97,21 @@ def main():
 
     import numpy as np
     t0 = time.time()
-    r_x = jax.block_until_ready(u1_xla(crs, t_digs[0]))
+    r_x = u1_xla(crs, t_digs[0])
+    wait_for(r_x)
     print(f"u1 xla compile+run: {time.time()-t0:.1f}s", flush=True)
     t0 = time.time()
-    r_p = jax.block_until_ready(u1_pal(crs, t_digs[0]))
+    r_p = u1_pal(crs, t_digs[0])
+    wait_for(r_p)
     print(f"u1 pallas compile+run: {time.time()-t0:.1f}s", flush=True)
     np.testing.assert_array_equal(np.asarray(r_x), np.asarray(r_p))
     print("u1 outputs bit-identical", flush=True)
     for name, f in (("u1 xla", u1_xla), ("u1 pallas", u1_pal)):
-        outs = [jax.block_until_ready(f(crs, t_digs[1]))]
+        wait_for(f(crs, t_digs[1]))  # warm
         t0 = time.perf_counter()
-        for i in range(args.iters):
-            outs.append(f(crs, t_digs[i % len(t_digs)]))
-        jax.block_until_ready(outs)
+        outs = [f(crs, t_digs[i % len(t_digs)]) for i in range(args.iters)]
+        for o in outs:
+            wait_for(o)
         dt = (time.perf_counter() - t0) / args.iters * 1e3
         print(f"{name}: {dt:.2f} ms", flush=True)
 

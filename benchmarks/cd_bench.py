@@ -53,17 +53,20 @@ def main():
     # distinct stream per timed iteration (relay dedupe — PERF.md)
     digs = [mk_h_dig(i) for i in range(args.iters + 1)]
 
+    from labrador_tpu.utils.profiling import wait_for
+
     fx = jax.jit(lambda h: protocol.u2_from_digits(crs, h, p, plan))
     fp = jax.jit(lambda h: protocol.u2_from_digits(crs, h, p, plan,
                                                    use_pallas=True))
-    wx = jax.block_until_ready(fx(digs[0]))
-    wp = jax.block_until_ready(fp(digs[0]))
-    assert np.array_equal(np.asarray(wx), np.asarray(wp)), "parity failure"
+    wx = np.asarray(fx(digs[0]))   # fetch: axon block == enqueue ack
+    wp = np.asarray(fp(digs[0]))
+    assert np.array_equal(wx, wp), "parity failure"
 
     for name, f in (("xla", fx), ("pallas", fp)):
         t0 = time.perf_counter()
         outs = [f(digs[i % len(digs)]) for i in range(args.iters)]
-        jax.block_until_ready(outs)
+        for o in outs:             # fetch one leaf per dispatch
+            wait_for(o)
         dt = (time.perf_counter() - t0) / args.iters
         print(f"{name}: {dt * 1e3:.2f} ms / u2", flush=True)
 

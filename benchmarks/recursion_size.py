@@ -35,6 +35,7 @@ def main():
     from labrador_tpu.params import LabradorParams
     from labrador_tpu import sampling, structs, prover, verifier, recursion
     from labrador_tpu.crs import CRS
+    from labrador_tpu.utils.profiling import wait_for
 
     p = LabradorParams(n=args.n, r=args.r, kappa_override=args.kappa,
                        exact_digits=True)
@@ -45,8 +46,8 @@ def main():
     crs = CRS.create(p, seed=0x512E)
 
     t0 = time.time()
-    proof = jax.block_until_ready(
-        prover.prove(p, w, state, crs, kv, decomp_mode="exact"))
+    proof = prover.prove(p, w, state, crs, kv, decomp_mode="exact")
+    wait_for(proof)               # fetch-based (axon block == enqueue ack)
     t_prove = time.time() - t0
     size = structs.transcript_size_in_bytes(jax.device_get(proof), p.q)
     print(json.dumps(dict(level=0, n=p.n, r=p.r, kappa=p.kappa,
@@ -58,12 +59,14 @@ def main():
         t0 = time.time()
         p2, w2, st2, lay = recursion.fold(p, state, proof, crs, mu=args.mu,
                                           kappa_new=args.kappa_new)
+        wait_for((w2, st2))
         t_fold = time.time() - t0
         crs2 = CRS.create(p2, seed=0xF01D + lvl)
         t0 = time.time()
-        proof2 = jax.block_until_ready(prover.prove(
-            p2, w2, st2, crs2, jax.random.fold_in(kv, lvl),
-            decomp_mode="exact"))
+        proof2 = prover.prove(p2, w2, st2, crs2,
+                              jax.random.fold_in(kv, lvl),
+                              decomp_mode="exact")
+        wait_for(proof2)
         t_prove2 = time.time() - t0
         assert bool(proof2.jl_ok) and bool(proof2.b_pp_ok)
         t0 = time.time()

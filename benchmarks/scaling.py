@@ -52,6 +52,7 @@ def main():
     from labrador_tpu.params import LabradorParams
     from labrador_tpu import sampling, structs, prover, verifier
     from labrador_tpu.crs import CRS
+    from labrador_tpu.utils.profiling import wait_for
 
     print(f"# devices: {jax.devices()}", file=sys.stderr, flush=True)
 
@@ -69,27 +70,32 @@ def main():
             witness = sampling.generate_witness(kw, p)
             state = structs.generate_state(ks, witness, p)
             crs = CRS.create(p, seed=0xBE7C + pow2)
-            proof = jax.block_until_ready(
-                prover.prove(p, witness, state, crs, kv))
-            compile_s = time.perf_counter() - t0
+            proof = prover.prove(p, witness, state, crs, kv)
+            wait_for(proof)       # fetch — block_until_ready only acks
+            compile_s = time.perf_counter() - t0   # enqueue on axon
             assert bool(proof.jl_ok) and bool(proof.b_pp_ok)
 
             # rotate the verifier key per iteration: identical dispatches
-            # can be deduped by the remote-TPU relay (~2x inflation)
+            # can be deduped by the remote-TPU relay (~2x inflation).
+            # Timing is enqueue-all -> fetch one small leaf PER dispatch
+            # (each fetch forces that program's completion; the axon
+            # relay's block_until_ready does not — utils/profiling).
             t0 = time.perf_counter()
             proofs = [prover.prove(p, witness, state, crs,
                                    jax.random.fold_in(kv, i))
                       for i in range(args.iters)]
-            jax.block_until_ready(proofs)
+            for pf in proofs:
+                wait_for(pf)
             t_prove = (time.perf_counter() - t0) / args.iters
 
-            rep = jax.block_until_ready(
-                verifier.verify_report(p, state, proof, crs))
+            rep = verifier.verify_report(p, state, proof, crs)
+            wait_for(rep)
             ok = bool(rep["all"])
             t0 = time.perf_counter()
             reps = [verifier.verify_report(p, state, proofs[i], crs)
                     for i in range(args.iters)]
-            jax.block_until_ready([r["all"] for r in reps])
+            for rp in reps:
+                wait_for(rp)
             t_verify = (time.perf_counter() - t0) / args.iters
 
             size = structs.transcript_size_in_bytes(

@@ -96,7 +96,9 @@ def main():
                                        jnp.stack([kv])))
         compile_s = time.perf_counter() - t0
         if want is not None:
-            for name in ("u_1", "u_2", "t", "g", "h", "z"):
+            # full message-field surface — same constant the test suite's
+            # byte-parity assertions use (tests/test_sharded.py)
+            for name in structs.TRANSCRIPT_FIELDS:
                 np.testing.assert_array_equal(
                     zq.to_py(zq.index(getattr(got, name), 0)),
                     zq.to_py(getattr(want, name)), err_msg=name)
@@ -111,12 +113,14 @@ def main():
             base_ms, base_rows = ms, rows
         # ideal linear scaling from the first measured mesh size
         eff = (base_ms * base_rows / rows) / ms if ms else 0.0
-        print(json.dumps({
+        row_out = {
             "rows": rows, "prove_ms": round(ms, 1),
             "eff_vs_linear": round(eff, 3),
-            "transcript_equal": want is not None,
             "first_run_s": round(compile_s, 1),
-        }), flush=True)
+        }
+        if want is not None:      # parity asserted above (raises on diff)
+            row_out["parity_checked"] = True
+        print(json.dumps(row_out), flush=True)
 
 
 if __name__ == "__main__":

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from .ops.sha256 import hash_arrays
+from .ops.sha_prng import wrap_digest
 
 # absorption domains (message order)
 DOM_INIT = 1
@@ -84,4 +85,8 @@ class FiatShamirOracle:
         d = hash_arrays(st, jnp.asarray(tag, jnp.uint32).reshape(1),
                         jnp.asarray(idx, jnp.uint32).reshape(1),
                         domain=_DOM_KEY)
-        return jax.random.wrap_key_data(d[:2])
+        # the FULL 256-bit digest becomes the sampler key via the SHA-256
+        # counter-mode PRNG impl (ops/sha_prng.py) — round 3 truncated to
+        # d[:2] to fit a threefry2x32 key, collapsing transcript-grinding
+        # resistance to 2^64 (FS_SPEC.md §5)
+        return wrap_digest(d)

@@ -63,6 +63,13 @@ class Transcript:
     b_pp_ok: jax.Array
 
 
+# every transcript message field (excludes the prover self-check flags and
+# ``pi``, whose (r, 256, n*d) layout needs no Zq decoding) — the parity
+# surface shared by tests/test_sharded.py and benchmarks/sharded_scaling.py
+TRANSCRIPT_FIELDS = ("u_1", "u_2", "t", "g", "h", "z", "c", "projection",
+                     "psi", "omega", "b_prime_prime", "alpha", "beta")
+
+
 def state_from_constraints(a_k: jax.Array, phi_k: jax.Array,
                            witness: jax.Array,
                            params: LabradorParams) -> State:

@@ -23,8 +23,7 @@ P_SMALL = LabradorParams(n=2, r=2)
 P_BIG = LabradorParams(n=2, r=2, q_start=(1 << 32) - 1, kappa_override=16,
                        exact_digits=True)
 
-TRANSCRIPT_FIELDS = ("u_1", "u_2", "t", "g", "h", "z", "c", "projection",
-                     "psi", "omega", "b_prime_prime", "alpha", "beta")
+TRANSCRIPT_FIELDS = structs.TRANSCRIPT_FIELDS
 
 
 def _setup(params, seed=5150):
