@@ -266,7 +266,9 @@ def main():
     on_tpu = jax.devices()[0].platform != "cpu"
     use_pallas = (args.pallas or on_tpu) and not args.no_pallas
     if on_tpu:
-        batch, scan_len = 65_536, (64 if args.quick else 2048)
+        # ~0.5-1 s of device work per dispatch at the observed ~6 G/s
+        # steady state, so the per-dispatch fetch round-trip is noise
+        batch, scan_len = 65_536, (64 if args.quick else 8192)
     else:
         batch, scan_len = 8_192, (2 if args.quick else 8)
     iters = 2 if args.quick else 4

@@ -24,6 +24,8 @@ def main():
     ap.add_argument("--mu", type=int, default=8)
     ap.add_argument("--levels", type=int, default=1)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--big-q", action="store_true",
+                    help="2^32-scale modulus (two-limb Zq2 pipeline)")
     args = ap.parse_args()
     if args.cpu:
         os.environ.pop("PALLAS_AXON_POOL_IPS", None)
@@ -37,8 +39,9 @@ def main():
     from labrador_tpu.crs import CRS
     from labrador_tpu.utils.profiling import wait_for
 
+    kw = dict(q_start=(1 << 32) - 1) if args.big_q else {}
     p = LabradorParams(n=args.n, r=args.r, kappa_override=args.kappa,
-                       exact_digits=True)
+                       exact_digits=True, **kw)
     key = jax.random.key(1)
     kw, ks, kv = jax.random.split(key, 3)
     w = sampling.generate_witness(kw, p)

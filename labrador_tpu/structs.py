@@ -149,26 +149,41 @@ def _gram_hat(s_hat: jax.Array, plan) -> jax.Array:
 # Serialization / size metric
 # ---------------------------------------------------------------------------
 
-def _bincode_poly_vec(arr: np.ndarray) -> bytes:
+def _i128_le(flat: np.ndarray) -> np.ndarray:
+    """(N,) integer array -> (N, 16) uint8 two's-complement i128 LE
+    (vectorized: Zq values fit int64, the high quadword is the sign
+    extension).  A Python per-coefficient loop here made proof-size
+    accounting O(hours) at the 2^20 configs (268M JL coefficients)."""
+    v = flat.astype(np.int64).reshape(-1)
+    out = np.zeros((v.size, 16), np.uint8)
+    out[:, :8] = v.astype("<i8").view(np.uint8).reshape(-1, 8)
+    out[:, 8:] = np.where(v < 0, np.uint8(0xFF), np.uint8(0))[:, None]
+    return out
+
+
+def _bincode_poly_vec(arr: np.ndarray, chunk_rows: int = 1 << 16):
     """Vec<Rq> in bincode layout: u64 LE count, then per element u64 LE
     coefficient count + i128 LE coefficients (serde impls at
-    ``algebraic.rs:422-429``; Zq is a single i128 field)."""
+    ``algebraic.rs:422-429``; Zq is a single i128 field).  Yields byte
+    chunks so multi-GB fields stream straight into the compressor."""
     arr = np.asarray(arr)
     flat = arr.reshape(-1, arr.shape[-1])
-    out = [len(flat).to_bytes(8, "little")]
-    for poly in flat:
-        out.append(len(poly).to_bytes(8, "little"))
-        for c in poly:
-            out.append(int(c).to_bytes(16, "little", signed=True))
-    return b"".join(out)
+    n, d = flat.shape
+    yield n.to_bytes(8, "little")
+    pre = np.frombuffer(int(d).to_bytes(8, "little"), np.uint8)
+    for s in range(0, n, chunk_rows):
+        blk = flat[s:s + chunk_rows]
+        rows = np.concatenate(
+            [np.broadcast_to(pre, (len(blk), 8)),
+             _i128_le(blk).reshape(len(blk), d * 16)], axis=1)
+        yield rows.tobytes()
 
 
-def _bincode_zq_vec(arr: np.ndarray) -> bytes:
+def _bincode_zq_vec(arr: np.ndarray, chunk: int = 1 << 22):
     arr = np.asarray(arr).reshape(-1)
-    out = [len(arr).to_bytes(8, "little")]
-    for c in arr:
-        out.append(int(c).to_bytes(16, "little", signed=True))
-    return b"".join(out)
+    yield len(arr).to_bytes(8, "little")
+    for s in range(0, arr.size, chunk):
+        yield _i128_le(arr[s:s + chunk]).tobytes()
 
 
 def save_transcript(tr: Transcript, path: str) -> None:
@@ -225,5 +240,12 @@ def transcript_size_in_bytes(tr: Transcript, q: int) -> int:
         _bincode_poly_vec(zq_ops.to_py(tr.g)),
         _bincode_poly_vec(zq_ops.to_py(tr.h)),
     ]
-    blob = b"".join(parts)
-    return len(zlib.compress(blob, 9))
+    # stream the compression: at 2^20 the bincode image is ~4.3 GB (the
+    # (r, 256, n*d) JL matrices serialize as i128 per entry), so the
+    # writers yield chunks and nothing bigger than one chunk is ever live
+    comp = zlib.compressobj(9)
+    total = 0
+    for part in parts:
+        for blk in part:
+            total += len(comp.compress(blk))
+    return total + len(comp.flush())
