@@ -48,6 +48,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..params import LabradorParams
 from .ntt import NttPlan
+from .modmath import mod_pos
 from . import prg
 from . import zq as zq_ops
 
@@ -135,11 +136,12 @@ def circulant_limbs_big(witness_signed: jax.Array,
 
 def _words_mod_p(rh: jax.Array, rl: jax.Array, pr: int) -> jax.Array:
     """(rh*2^32 + rl) mod pr for int32-encoded uint32 words, int32 ops only
-    (rh < 2 for q < 2^33)."""
+    (rh < 2 for q < 2^33).  mod_pos = float-Barrett fast path (no VPU
+    integer divide); every intermediate is < 2^30."""
     hi16 = (rl.astype(jnp.uint32) >> 16).astype(jnp.int32)
     lo16 = (rl.astype(jnp.uint32) & jnp.uint32(0xFFFF)).astype(jnp.int32)
-    v = (hi16 % pr) * ((1 << 16) % pr) % pr + lo16 % pr
-    v = (v + (rh % pr) * ((1 << 32) % pr)) % pr
+    v = mod_pos(mod_pos(hi16, pr) * ((1 << 16) % pr), pr) + mod_pos(lo16, pr)
+    v = mod_pos(v + mod_pos(rh, pr) * ((1 << 32) % pr), pr)
     return v
 
 
@@ -195,7 +197,7 @@ def _make_kernel(params: LabradorParams, plan: NttPlan,
             if big:
                 ap = _words_mod_p(a_rh, a_rl, pr)           # [0, pr)
             else:
-                ap = a_tile % pr                            # [0, pr)
+                ap = mod_pos(a_tile, pr)                    # [0, pr)
             a_hi, a_lo = _split8(ap)   # a_hi <= 126, |a_lo| <= 128
             a_limb = {0: a_lo, 1: a_hi}
             # per-chunk bounds (kc <= 4096): each weight-w partial sums at

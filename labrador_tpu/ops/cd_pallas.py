@@ -40,6 +40,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..params import LabradorParams
 from .ntt import NttPlan
+from .modmath import mod_pos
 from . import prg
 from . import zq as zq_ops
 from .ajtai_pallas import (_split8, _split_limbs8, _words_mod_p,
@@ -149,7 +150,7 @@ def _make_kernel(params: LabradorParams, plan: NttPlan, base_off: int,
             if big:
                 mp = _words_mod_p(m_rh, m_rl, pr)
             else:
-                mp = m_tile % pr
+                mp = mod_pos(m_tile, pr)
             m_hi, m_lo = _split8(mp)
             m_limb = {0: m_lo, 1: m_hi}
             # per-step int32 bounds: |dot| <= lc*d * 128 * 128 ~ 6.7e7 for
@@ -160,8 +161,8 @@ def _make_kernel(params: LabradorParams, plan: NttPlan, base_off: int,
                 terms = [dot(m_limb[lm], c_refs[w - lm][0])
                          for lm in (0, 1) if 0 <= w - lm < n_limbs]
                 cw = (1 << (8 * w)) % pr
-                contrib = contrib + (sum(terms) % pr) * cw % pr
-            acc_ref[pi] = (acc_ref[pi] + contrib) % pr
+                contrib = contrib + mod_pos(mod_pos(sum(terms), pr) * cw, pr)
+            acc_ref[pi] = mod_pos(acc_ref[pi] + contrib, pr)
 
         @pl.when(s == pl.num_programs(1) - 1)
         def _():

@@ -27,8 +27,37 @@ P_MAX = 32513  # primes used must be <= this; 32512 = 127*256 + 128
 
 
 def mod_pos(x: jax.Array, m) -> jax.Array:
-    """x mod m with nonnegative result (jnp.remainder already does this for
-    positive m).  Mirrors ``mod_positive`` (reference ``util.rs:16-23``)."""
+    """x mod m with nonnegative result.  Mirrors ``mod_positive``
+    (reference ``util.rs:16-23``).
+
+    Fast path (static m <= P_MAX, int32 x): an exact two-step float32
+    Barrett — TPU has no integer divide, so ``jnp.remainder`` lowers to a
+    long emulated sequence that made the polymul kernel 2.2x slower than
+    this (bench_logs/diag_mod round 4).  Exactness argument:
+
+      step 1:  q1 = round(fl(x) * fl(1/m));  r1 = x - q1*m.
+               fl() errors bound |q1 - x/m| <= 3|x|*2^-24/m + 0.5, so with
+               |x| <= 2^31 - 2^20 and m <= P_MAX < 2^15:
+               |r1| <= (3*|x|*2^-24 + 0.5m) + 0.5m < 2^17, and q1*m fits
+               int32 (<= |x| + 2^17).
+      step 2:  same on r1 — now |r1| < 2^24 so fl(r1) is EXACT and
+               |r2| <= (m+1)/2; two conditional fixups land in [0, m).
+
+    Every int32 value in this codebase is below the |x| bound by
+    construction (the largest are _mod_sum's chunked partials,
+    2^16 * (P_MAX-1) = 2^31 - 2^26).  float32 mul and round-half-even are
+    correctly rounded and deterministic on CPU and TPU alike, so results
+    stay bit-identical across backends (asserted by the parity suites)."""
+    if isinstance(m, (int, np.integer)) and 1 < m <= P_MAX \
+            and x.dtype == jnp.int32:
+        m32 = np.int32(m)
+        inv = np.float32(1.0 / m)
+        q1 = jnp.round(x.astype(jnp.float32) * inv).astype(jnp.int32)
+        r1 = x - q1 * m32
+        q2 = jnp.round(r1.astype(jnp.float32) * inv).astype(jnp.int32)
+        r2 = r1 - q2 * m32
+        r2 = jnp.where(r2 < 0, r2 + m32, r2)
+        return jnp.where(r2 >= m32, r2 - m32, r2)
     return jnp.remainder(x, jnp.asarray(m, dtype=x.dtype))
 
 
@@ -81,7 +110,7 @@ def modmul_mm(a: jax.Array, b: jax.Array, p, *, batch_dims=0) -> jax.Array:
     # bound via the fact the two addends are each < n * 2**14 <= 2**30. Safe.
     c16 = (1 << 16) % int(p)
     c8 = (1 << 8) % int(p)
-    r = mod_pos(p11, p) * c16 % int(p) + mod_pos(p10, p) * c8 % int(p) \
+    r = mod_pos(mod_pos(p11, p) * c16, p) + mod_pos(mod_pos(p10, p) * c8, p) \
         + mod_pos(p00, p)
     return mod_pos(r, p)
 

@@ -24,7 +24,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .ntt import NttPlan
-from .modmath import P_MAX
+from .modmath import P_MAX, mod_pos
 
 BLOCK = 1024  # polynomials per grid step; VMEM ~ BLOCK*64*4B*(#temps)
 
@@ -47,7 +47,9 @@ def _plan_consts(plan: NttPlan):
 
 def _mm_mod(x_hi, x_lo, m_hi, m_lo, p: int):
     """(x_hi*256+x_lo) @ (m_hi*256+m_lo) mod p via 4 int8 MXU dots —
-    in-kernel mirror of modmath.modmul_mm."""
+    in-kernel mirror of modmath.modmul_mm.  All reductions go through
+    mod_pos's float-Barrett fast path: integer `%` has no hardware divide
+    on the TPU VPU and dominated the kernel (2.2x — bench_logs/diag_mod)."""
     dn = (((1,), (0,)), ((), ()))
     dot = partial(jax.lax.dot_general, dimension_numbers=dn,
                   preferred_element_type=jnp.int32)
@@ -56,7 +58,8 @@ def _mm_mod(x_hi, x_lo, m_hi, m_lo, p: int):
     p00 = dot(x_lo, m_lo)
     c16 = (1 << 16) % p
     c8 = (1 << 8) % p
-    return ((p11 % p) * c16 % p + (p10 % p) * c8 % p + (p00 % p)) % p
+    return mod_pos(mod_pos(mod_pos(p11, p) * c16, p)
+                   + mod_pos(mod_pos(p10, p) * c8, p) + mod_pos(p00, p), p)
 
 
 def _split_i8_arr(x):
@@ -76,13 +79,13 @@ def _make_kernel(plan: NttPlan):
         residues = []
         for pi in range(P):
             p = int(primes[pi])
-            ap = a % p
-            bp = b % p
+            ap = mod_pos(a, p)
+            bp = mod_pos(b, p)
             a_hi, a_lo = _split_i8_arr(ap)
             b_hi, b_lo = _split_i8_arr(bp)
             ahat = _mm_mod(a_hi, a_lo, vhi_ref[pi], vlo_ref[pi], p)
             bhat = _mm_mod(b_hi, b_lo, vhi_ref[pi], vlo_ref[pi], p)
-            prod = (ahat * bhat) % p
+            prod = mod_pos(ahat * bhat, p)
             pr_hi, pr_lo = _split_i8_arr(prod)
             residues.append(_mm_mod(pr_hi, pr_lo, whi_ref[pi], wlo_ref[pi], p))
 
@@ -90,21 +93,21 @@ def _make_kernel(plan: NttPlan):
         v = [residues[0]]
         for k in range(1, P):
             p = int(primes[k])
-            t = (residues[k] - v[0]) % p
+            t = mod_pos(residues[k] - v[0], p)
             for j in range(1, k):
-                t = (t * int(plan.garner_inv[j - 1, k])) % p
-                t = (t - v[j]) % p
-            t = (t * int(plan.garner_inv[k - 1, k])) % p
+                t = mod_pos(t * int(plan.garner_inv[j - 1, k]), p)
+                t = mod_pos(t - v[j], p)
+            t = mod_pos(t * int(plan.garner_inv[k - 1, k]), p)
             v.append(t)
         out = jnp.zeros_like(v[0])
         for j in range(P):
-            out = out + (v[j] * plan.prefix_mod_q[j]) % q
+            out = out + mod_pos(v[j] * plan.prefix_mod_q[j], q)
         gt = jnp.zeros(v[0].shape, jnp.bool_)
         for j in range(P):
             mj = plan.m_half_digits[j]
             gt = (v[j] > mj) | ((v[j] == mj) & gt)
         out = out - jnp.where(gt, plan.m_mod_q, 0)
-        out_ref[:] = out % q
+        out_ref[:] = mod_pos(out, q)
 
     return kernel
 

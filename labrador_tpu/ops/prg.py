@@ -90,7 +90,7 @@ def uniform_mod_q(k0, k1, off_hi, off_lo, q: int):
 
     r0 = u32_mod_q(x0)
     r1 = u32_mod_q(x1)
-    return mod_pos(r0 * c32 % q + r1, q)
+    return mod_pos(mod_pos(r0 * c32, q) + r1, q)
 
 
 def uniform_bits(k0, k1, off_hi, off_lo) -> tuple[jax.Array, jax.Array]:

@@ -32,6 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..params import LabradorParams
 from .ntt import NttPlan
+from .modmath import mod_pos
 from . import prg
 from . import zq as zq_ops
 from .ajtai_pallas import _split8, _split_limbs8, _words_mod_p, digit_limbs
@@ -125,7 +126,7 @@ def _make_kernel(params: LabradorParams, plan: NttPlan,
             if big:
                 bp = _words_mod_p(b_rh, b_rl, pr)
             else:
-                bp = b_tile % pr
+                bp = mod_pos(b_tile, pr)
             b_hi, b_lo = _split8(bp)
             b_limb = {0: b_lo, 1: b_hi}
             # chunk contribution reduced mod p each step: the full-K raw
@@ -138,8 +139,8 @@ def _make_kernel(params: LabradorParams, plan: NttPlan,
                 terms = [dot(b_limb[lb], c_refs[w - lb][0])
                          for lb in (0, 1) if 0 <= w - lb < n_limbs]
                 cw = (1 << (8 * w)) % pr
-                contrib = contrib + (sum(terms) % pr) * cw % pr
-            acc_ref[pi] = (acc_ref[pi] + contrib) % pr
+                contrib = contrib + mod_pos(mod_pos(sum(terms), pr) * cw, pr)
+            acc_ref[pi] = mod_pos(acc_ref[pi] + contrib, pr)
 
         @pl.when(s == pl.num_programs(1) - 1)
         def _():

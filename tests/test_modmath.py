@@ -69,3 +69,24 @@ def test_mul32x32_u64():
     got = (np.asarray(hi).astype(np.uint64) << np.uint64(32)) | \
         np.asarray(lo).astype(np.uint32).astype(np.uint64)
     np.testing.assert_array_equal(got, (a * b).astype(np.uint64))
+
+
+def test_mod_pos_float_barrett_exact():
+    """The float32-Barrett fast path (m <= P_MAX, int32 x) must equal true
+    mod over the full documented |x| <= 2^31 - 2^20 contract, including the
+    largest value the codebase produces (_mod_sum chunked partials,
+    2^16 * (P_MAX - 1)) and negatives.  Round 4: integer % has no hardware
+    divide on the TPU VPU and cost 2.2x in the polymul kernel."""
+    rng = np.random.default_rng(6)
+    lim = 2**31 - 2**20
+    edge = np.array([0, 1, -1, lim, -lim, 2**30, -(2**30),
+                     2**16 * (mm.P_MAX - 1), -(2**16) * (mm.P_MAX - 1)],
+                    np.int64)
+    for m in (2, 3, 17, 257, 8191, 12289, 32503, mm.P_MAX):
+        xs = np.concatenate([
+            rng.integers(-lim, lim, 100000),
+            edge, np.array([m, -m, m - 1, 1 - m], np.int64),
+        ]).astype(np.int32)
+        got = np.asarray(mm.mod_pos(jnp.asarray(xs), m))
+        want = np.mod(xs.astype(np.int64), m).astype(np.int32)
+        np.testing.assert_array_equal(got, want, err_msg=f"m={m}")
