@@ -50,15 +50,26 @@ def mod_pos(x: jax.Array, m) -> jax.Array:
     stay bit-identical across backends (asserted by the parity suites)."""
     if isinstance(m, (int, np.integer)) and 1 < m <= P_MAX \
             and x.dtype == jnp.int32:
-        m32 = np.int32(m)
-        inv = np.float32(1.0 / m)
-        q1 = jnp.round(x.astype(jnp.float32) * inv).astype(jnp.int32)
-        r1 = x - q1 * m32
-        q2 = jnp.round(r1.astype(jnp.float32) * inv).astype(jnp.int32)
-        r2 = r1 - q2 * m32
-        r2 = jnp.where(r2 < 0, r2 + m32, r2)
-        return jnp.where(r2 >= m32, r2 - m32, r2)
-    return jnp.remainder(x, jnp.asarray(m, dtype=x.dtype))
+        m32, inv = np.int32(m), np.float32(1.0 / m)
+    elif isinstance(m, np.ndarray) and m.ndim == 1 \
+            and x.ndim >= 1 and m.shape[0] == x.shape[0] \
+            and (1 < m).all() and (m <= P_MAX).all() \
+            and x.dtype == jnp.int32:
+        # static per-prime modulus vector broadcast down x's leading axis —
+        # ONE vector op replaces an unrolled per-prime Python loop (the
+        # big-q prover traced 92K StableHLO ops of 6x-duplicated arithmetic)
+        bshape = (m.shape[0],) + (1,) * (x.ndim - 1)
+        m32 = m.astype(np.int32).reshape(bshape)
+        inv = np.array([np.float32(1.0 / int(v)) for v in m],
+                       np.float32).reshape(bshape)
+    else:
+        return jnp.remainder(x, jnp.asarray(m, dtype=x.dtype))
+    q1 = jnp.round(x.astype(jnp.float32) * inv).astype(jnp.int32)
+    r1 = x - q1 * m32
+    q2 = jnp.round(r1.astype(jnp.float32) * inv).astype(jnp.int32)
+    r2 = r1 - q2 * m32
+    r2 = jnp.where(r2 < 0, r2 + m32, r2)
+    return jnp.where(r2 >= m32, r2 - m32, r2)
 
 
 def split_i8(x: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -113,6 +124,50 @@ def modmul_mm(a: jax.Array, b: jax.Array, p, *, batch_dims=0) -> jax.Array:
     r = mod_pos(mod_pos(p11, p) * c16, p) + mod_pos(mod_pos(p10, p) * c8, p) \
         + mod_pos(p00, p)
     return mod_pos(r, p)
+
+
+def _pshape(v: np.ndarray, ndim: int) -> np.ndarray:
+    """(P,) static vector -> broadcastable (P, 1, ..., 1) of rank ndim."""
+    return v.reshape((v.shape[0],) + (1,) * (ndim - 1))
+
+
+def modmul_mm_p(a: jax.Array, b: jax.Array, primes, *,
+                extra_batch: int = 0) -> jax.Array:
+    """Exact per-prime (a @ b) mod primes[i] as ONE batched int8 MXU dot.
+
+    a: (P, ..., m, n) int32 with a[i] in [0, primes[i]);
+    b: (P, ..., n, k) likewise; `extra_batch` additional batch axes follow
+    the prime axis.  Equivalent to stacking modmul_mm per prime, but the
+    whole CRT stack runs as a single dot_general + one vectorized
+    reduction — both the compile-time and the dispatch cost stop scaling
+    with the number of primes.
+    """
+    primes = np.asarray(primes, np.int64)
+    n = a.shape[-1]
+    if n > CHUNK:
+        nchunks = (n + CHUNK - 1) // CHUNK
+        acc = None
+        for c in range(nchunks):
+            lo_i, hi_i = c * CHUNK, min((c + 1) * CHUNK, n)
+            part = modmul_mm_p(a[..., lo_i:hi_i], b[..., lo_i:hi_i, :],
+                               primes, extra_batch=extra_batch)
+            acc = part if acc is None else mod_pos(acc + part, primes)
+        return acc
+
+    bd = tuple(range(1 + extra_batch))
+    dn = (((a.ndim - 1,), (b.ndim - 2,)), (bd, bd))
+    a_hi, a_lo = split_i8(a)
+    b_hi, b_lo = split_i8(b)
+    p11 = _dot_i8(a_hi, b_hi, dn)
+    p10 = _dot_i8(a_hi, b_lo, dn) + _dot_i8(a_lo, b_hi, dn)
+    p00 = _dot_i8(a_lo, b_lo, dn)
+    c16 = _pshape(np.array([(1 << 16) % int(p) for p in primes], np.int32),
+                  p11.ndim)
+    c8 = _pshape(np.array([(1 << 8) % int(p) for p in primes], np.int32),
+                 p11.ndim)
+    r = mod_pos(mod_pos(p11, primes) * c16, primes) \
+        + mod_pos(mod_pos(p10, primes) * c8, primes) + mod_pos(p00, primes)
+    return mod_pos(r, primes)
 
 
 def modmul_point(a: jax.Array, b: jax.Array, p) -> jax.Array:

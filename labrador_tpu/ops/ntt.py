@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..params import LabradorParams, select_crt_primes
-from .modmath import mod_pos, modmul_mm, modmul_point
+from .modmath import mod_pos, modmul_mm, modmul_mm_p, modmul_point
 from . import zq as zq_ops
 
 
@@ -157,11 +157,8 @@ def ntt_fwd(x, plan: NttPlan) -> jax.Array:
     shape = x.shape
     x2 = zq_ops.reshape(x, (-1, plan.d))
     res = zq_ops.to_res(x2, plan.primes)            # (P, B, d)
-    outs = []
-    for pi, p in enumerate(plan.primes):
-        V = jnp.asarray(plan.V[pi])
-        outs.append(modmul_mm(res[pi], V, p).reshape(shape))
-    return jnp.stack(outs)
+    out = modmul_mm_p(res, jnp.asarray(plan.V), np.asarray(plan.primes))
+    return out.reshape((plan.n_primes,) + shape)
 
 
 def ntt_inv_modq(xhat: jax.Array, plan: NttPlan):
@@ -173,23 +170,18 @@ def ntt_inv_modq(xhat: jax.Array, plan: NttPlan):
     |X| < M/2 where M = prod(primes).
     """
     shape = xhat.shape[1:]
-    res = []
-    for pi, p in enumerate(plan.primes):
-        W = jnp.asarray(plan.W[pi])
-        r = modmul_mm(xhat[pi].reshape(-1, plan.d), W, p).reshape(shape)
-        res.append(r)
-    return zq_ops.fold_res_modq(jnp.stack(res), plan, signed=True)
+    r = modmul_mm_p(xhat.reshape(plan.n_primes, -1, plan.d),
+                    jnp.asarray(plan.W), np.asarray(plan.primes))
+    return zq_ops.fold_res_modq(r.reshape((plan.n_primes,) + shape), plan,
+                                signed=True)
 
 
 def ntt_inv_modp(xhat: jax.Array, plan: NttPlan) -> jax.Array:
     """Eval -> per-prime coefficient residues (P, ..., d), no reconstruction.
     Useful when staying in CRT form across phases."""
-    outs = []
-    for pi, p in enumerate(plan.primes):
-        W = jnp.asarray(plan.W[pi])
-        outs.append(modmul_mm(xhat[pi].reshape(-1, plan.d), W, p)
-                    .reshape(xhat.shape[1:]))
-    return jnp.stack(outs)
+    r = modmul_mm_p(xhat.reshape(plan.n_primes, -1, plan.d),
+                    jnp.asarray(plan.W), np.asarray(plan.primes))
+    return r.reshape(xhat.shape)
 
 
 # ---------------------------------------------------------------------------
@@ -197,10 +189,9 @@ def ntt_inv_modp(xhat: jax.Array, plan: NttPlan) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 def eval_mul(ahat: jax.Array, bhat: jax.Array, plan: NttPlan) -> jax.Array:
-    """Pointwise product in the evaluation domain (per prime)."""
-    outs = [modmul_point(ahat[pi], bhat[pi], p)
-            for pi, p in enumerate(plan.primes)]
-    return jnp.stack(outs)
+    """Pointwise product in the evaluation domain (per prime, one
+    vectorized reduction over the whole CRT stack)."""
+    return mod_pos(ahat * bhat, np.asarray(plan.primes))
 
 
 def negacyclic_polymul(a: jax.Array, b: jax.Array, plan: NttPlan) -> jax.Array:
@@ -219,13 +210,10 @@ def eval_matmul(ahat: jax.Array, bhat: jax.Array, plan: NttPlan) -> jax.Array:
     core MXU workload: an Rq matrix product of any size becomes d batched
     integer matmuls per prime (SURVEY.md §2.16).
     """
-    outs = []
-    for pi, p in enumerate(plan.primes):
-        a = jnp.moveaxis(ahat[pi], -1, 0)   # (d, M, K)
-        b = jnp.moveaxis(bhat[pi], -1, 0)   # (d, K, N)
-        o = modmul_mm(a, b, p, batch_dims=1)
-        outs.append(jnp.moveaxis(o, 0, -1))
-    return jnp.stack(outs)
+    a = jnp.moveaxis(ahat, -1, 1)           # (P, d, M, K)
+    b = jnp.moveaxis(bhat, -1, 1)           # (P, d, K, N)
+    o = modmul_mm_p(a, b, np.asarray(plan.primes), extra_batch=1)
+    return jnp.moveaxis(o, 1, -1)
 
 
 def polyvec_inner_product(a: jax.Array, b: jax.Array, plan: NttPlan,
@@ -238,12 +226,9 @@ def polyvec_inner_product(a: jax.Array, b: jax.Array, plan: NttPlan,
     """
     ahat = ntt_fwd(a, plan)
     bhat = ntt_fwd(b, plan)
-    outs = []
-    for pi, p in enumerate(plan.primes):
-        prod = modmul_point(ahat[pi], bhat[pi], p)  # (..., m, d)
-        s = _mod_sum(prod, p, axis=axis)
-        outs.append(s)
-    return ntt_inv_modq(jnp.stack(outs), plan)
+    pv = np.asarray(plan.primes)
+    prod = mod_pos(ahat * bhat, pv)                 # (P, ..., m, d)
+    return ntt_inv_modq(_mod_sum_p(prod, pv, axis=axis), plan)
 
 
 def _mod_sum(x: jax.Array, p: int, axis: int) -> jax.Array:
@@ -262,3 +247,25 @@ def _mod_sum(x: jax.Array, p: int, axis: int) -> jax.Array:
     xm = xm.reshape(-1, limit, *xm.shape[1:])
     partial = mod_pos(jnp.sum(xm, axis=1), p)   # (< 2^31 each) -> [0, p)
     return mod_pos(jnp.sum(partial, axis=0), p)
+
+
+def _mod_sum_p(x: jax.Array, primes, axis: int) -> jax.Array:
+    """Vectorized ``_mod_sum`` over a leading prime axis: x is
+    (P, ...) with x[i] in [0, primes[i]); `axis` must not be the prime
+    axis (pass it negative or >= 1)."""
+    pv = np.asarray(primes)
+    ax = axis % x.ndim
+    assert ax != 0, "cannot sum over the prime axis"
+    m = x.shape[ax]
+    limit = 1 << 16
+    if m <= limit:
+        return mod_pos(jnp.sum(x, axis=ax), pv)
+    xm = jnp.moveaxis(x, ax, 1)                 # (P, m, ...)
+    pad = (-m) % limit
+    if pad:
+        xm = jnp.concatenate(
+            [xm, jnp.zeros(xm.shape[:1] + (pad,) + xm.shape[2:], xm.dtype)],
+            axis=1)
+    xm = xm.reshape(xm.shape[0], -1, limit, *xm.shape[2:])
+    partial = mod_pos(jnp.sum(xm, axis=2), pv)
+    return mod_pos(jnp.sum(partial, axis=1), pv)

@@ -235,13 +235,17 @@ def to_signed_small(x: ZqT, q: int) -> jax.Array:
 
 def to_res(x: ZqT, primes) -> jax.Array:
     """Residues of the represented integer mod each prime: (P, ...) int32.
-    Accepts canonical ZqT or plain (possibly signed) int32 arrays."""
+    Accepts canonical ZqT or plain (possibly signed) int32 arrays.
+    Vectorized over the prime axis (one broadcast + one Barrett chain for
+    the whole CRT stack)."""
+    pv = np.asarray(primes)
     if isinstance(x, Zq2):
-        outs = [mod_pos(mod_pos(x.hi, p) * (LIMB % p) + mod_pos(x.lo, p), p)
-                for p in primes]
-    else:
-        outs = [mod_pos(x, p) for p in primes]
-    return jnp.stack(outs)
+        limb_c = np.array([LIMB % int(p) for p in pv], np.int32) \
+            .reshape((len(pv),) + (1,) * x.hi.ndim)
+        hi_b = jnp.broadcast_to(x.hi, (len(pv),) + x.hi.shape)
+        lo_b = jnp.broadcast_to(x.lo, (len(pv),) + x.lo.shape)
+        return mod_pos(mod_pos(hi_b, pv) * limb_c + mod_pos(lo_b, pv), pv)
+    return mod_pos(jnp.broadcast_to(x, (len(pv),) + x.shape), pv)
 
 
 def garner_digits(res: jax.Array, plan) -> list[jax.Array]:

@@ -12,12 +12,13 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .params import LabradorParams, _ceil_log
 from .ops import ntt as ntt_ops
 from .ops import rq as rq_ops
 from .ops import zq as zq_ops
-from .ops.modmath import mod_pos, modmul_mm
+from .ops.modmath import mod_pos, modmul_mm, modmul_mm_p
 from .ops.decompose import decompose
 
 
@@ -41,7 +42,7 @@ def _axis_psum_eval(acc: jax.Array, plan, ctx: AxisCtx) -> jax.Array:
     """psum an eval-domain per-prime partial over the ctx axis (exact:
     n_shards * p < 2^31 for any realistic mesh)."""
     s = jax.lax.psum(acc, ctx.axis)
-    return jnp.stack([mod_pos(s[pi], p) for pi, p in enumerate(plan.primes)])
+    return mod_pos(s, np.asarray(plan.primes))
 
 
 # ---------------------------------------------------------------------------
@@ -73,13 +74,12 @@ def aggregate_a_pp(a_prime, psi, q: int, plan=None) -> jax.Array:
     if not zq_ops.is_big(q):
         terms = mod_pos(psi[:, :, None, None, None] * a_prime[None], q)
         return mod_pos(jnp.sum(terms, axis=1), q)
+    pv = np.asarray(plan.primes)
     psi_res = zq_ops.to_res(psi, plan.primes)            # (P, ub, L)
     a_res = zq_ops.to_res(a_prime, plan.primes)          # (P, L, r, r, d)
-    outs = []
-    for pi_, p in enumerate(plan.primes):
-        t = mod_pos(psi_res[pi_][:, :, None, None, None] * a_res[pi_][None], p)
-        outs.append(ntt_ops._mod_sum(t, p, axis=1))
-    return zq_ops.fold_res_modq(jnp.stack(outs), plan, signed=False)
+    t = mod_pos(psi_res[:, :, :, None, None, None] * a_res[:, None], pv)
+    out = ntt_ops._mod_sum_p(t, pv, axis=2)              # (P, ub, r, r, d)
+    return zq_ops.fold_res_modq(out, plan, signed=False)
 
 
 def sigma_inv_pi(pi: jax.Array, params: LabradorParams) -> jax.Array:
@@ -126,21 +126,20 @@ def aggregate_phi_pp(phi_prime, psi, omega, pi_sigma: jax.Array,
         rhs = jnp.moveaxis(rhs, 0, 1).reshape(omega.shape[0], p.r, p.n, p.d)
         return mod_pos(lhs + rhs, p.q)
 
+    pv = np.asarray(plan.primes)
+    P = len(pv)
     psi_res = zq_ops.to_res(psi, plan.primes)            # (P, ub, L)
     phi_res = zq_ops.to_res(phi_prime, plan.primes)      # (P, L, r, n, d)
     om_res = zq_ops.to_res(omega, plan.primes)           # (P, ub, 256)
-    outs = []
-    for pi_, pr in enumerate(plan.primes):
-        lhs = ntt_ops._mod_sum(
-            mod_pos(psi_res[pi_][:, :, None, None, None] * phi_res[pi_][None],
-                    pr), pr, axis=1)                     # (ub, r, n, d)
-        rhs = modmul_mm(
-            jnp.broadcast_to(om_res[pi_][None], (p.r, ub, 256)),
-            mod_pos(pi_sigma, pr), pr, batch_dims=1)     # (r, ub, n*d)
-        rhs = jnp.moveaxis(rhs, 0, 1).reshape(ub, p.r, p.n, p.d)
-        outs.append(mod_pos(lhs + rhs, pr))
+    lhs = ntt_ops._mod_sum_p(
+        mod_pos(psi_res[:, :, :, None, None, None] * phi_res[:, None], pv),
+        pv, axis=2)                                      # (P, ub, r, n, d)
+    pi_res = zq_ops.to_res(pi_sigma, plan.primes)        # (P, r, 256, n*d)
+    om_b = jnp.broadcast_to(om_res[:, None], (P, p.r, ub, 256))
+    rhs = modmul_mm_p(om_b, pi_res, pv, extra_batch=1)   # (P, r, ub, n*d)
+    rhs = jnp.moveaxis(rhs, 1, 2).reshape(P, ub, p.r, p.n, p.d)
     # signed=True: the ternary-pi contraction term can be negative
-    return zq_ops.fold_res_modq(jnp.stack(outs), plan, signed=True)
+    return zq_ops.fold_res_modq(mod_pos(lhs + rhs, pv), plan, signed=True)
 
 
 def b_pp_from_witness(a_pp_hat: jax.Array, phi_pp_hat: jax.Array,
@@ -152,16 +151,15 @@ def b_pp_from_witness(a_pp_hat: jax.Array, phi_pp_hat: jax.Array,
     (proofgen.rs:258-278)
     """
     ub = a_pp_hat.shape[1]
-    outs = []
-    for pi_, p in enumerate(plan.primes):
-        t1 = ntt_ops._mod_sum(
-            mod_pos(a_pp_hat[pi_] * g_hat[pi_][None], p).reshape(ub, -1, a_pp_hat.shape[-1]),
-            p, axis=1)
-        t2 = ntt_ops._mod_sum(
-            mod_pos(phi_pp_hat[pi_] * s_hat[pi_][None], p).reshape(ub, -1, s_hat.shape[-1]),
-            p, axis=1)
-        outs.append(mod_pos(t1 + t2, p))
-    return ntt_ops.ntt_inv_modq(jnp.stack(outs), plan)
+    pv = np.asarray(plan.primes)
+    P, d = len(pv), a_pp_hat.shape[-1]
+    t1 = ntt_ops._mod_sum_p(
+        mod_pos(a_pp_hat * g_hat[:, None], pv).reshape(P, ub, -1, d),
+        pv, axis=2)
+    t2 = ntt_ops._mod_sum_p(
+        mod_pos(phi_pp_hat * s_hat[:, None], pv).reshape(P, ub, -1, d),
+        pv, axis=2)
+    return ntt_ops.ntt_inv_modq(mod_pos(t1 + t2, pv), plan)
 
 
 def b_pp_expected_const(omega_k, psi_k, projection, b_prime, q: int,
@@ -176,18 +174,16 @@ def b_pp_expected_const(omega_k, psi_k, projection, b_prime, q: int,
         prod = mod_pos(jnp.sum(mod_pos(omega_k * projection[None], q), axis=1), q)
         s = mod_pos(jnp.sum(mod_pos(psi_k * b_prime[None], q), axis=1), q)
         return mod_pos(prod + s, q)
+    pv = np.asarray(plan.primes)
     om_res = zq_ops.to_res(omega_k, plan.primes)         # (P, ub, 256)
     pj_res = zq_ops.to_res(projection, plan.primes)      # (P, 256)
     psi_res = zq_ops.to_res(psi_k, plan.primes)          # (P, ub, L)
     bp_res = zq_ops.to_res(b_prime, plan.primes)         # (P, L)
-    outs = []
-    for pi_, p in enumerate(plan.primes):
-        prod = ntt_ops._mod_sum(
-            mod_pos(om_res[pi_] * pj_res[pi_][None], p), p, axis=1)
-        s = ntt_ops._mod_sum(
-            mod_pos(psi_res[pi_] * bp_res[pi_][None], p), p, axis=1)
-        outs.append(mod_pos(prod + s, p))
-    return zq_ops.fold_res_modq(jnp.stack(outs), plan, signed=False)
+    prod = ntt_ops._mod_sum_p(
+        mod_pos(om_res * pj_res[:, None], pv), pv, axis=2)
+    s = ntt_ops._mod_sum_p(
+        mod_pos(psi_res * bp_res[:, None], pv), pv, axis=2)
+    return zq_ops.fold_res_modq(mod_pos(prod + s, pv), plan, signed=False)
 
 
 # ---------------------------------------------------------------------------
@@ -201,14 +197,10 @@ def phi_weighted_hat(w_hat: jax.Array, phi_hat: jax.Array, plan) -> jax.Array:
     The shared core of both second-aggregation terms; also used standalone
     by the structured recursion state (recursion.FoldedState), whose
     alpha-term streams from the CRS and only the beta-term is dense."""
-    outs = []
-    for pi_, p in enumerate(plan.primes):
-        extra = phi_hat[pi_].ndim - 2
-        wb = w_hat[pi_].reshape(
-            (w_hat[pi_].shape[0],) + (1,) * extra + (w_hat[pi_].shape[-1],))
-        outs.append(ntt_ops._mod_sum(mod_pos(wb * phi_hat[pi_], p),
-                                     p, axis=0))
-    return jnp.stack(outs)
+    pv = np.asarray(plan.primes)
+    extra = phi_hat.ndim - 3
+    wb = w_hat.reshape(w_hat.shape[:2] + (1,) * extra + (w_hat.shape[-1],))
+    return ntt_ops._mod_sum_p(mod_pos(wb * phi_hat, pv), pv, axis=1)
 
 
 def phi_final_hat(alpha_hat: jax.Array, beta_hat: jax.Array,
@@ -236,12 +228,10 @@ def b_final(alpha_hat: jax.Array, beta_hat: jax.Array, b_hat: jax.Array,
     """Canonical b = sum_k alpha_k b_k + sum_k beta_k b''_k (verifier line 7,
     verification.rs:140-148).  b_hat: (P, K, d); b_pp_hat: (P, ub, d)
     -> (d,) coeff domain."""
-    outs = []
-    for pi_, p in enumerate(plan.primes):
-        t1 = ntt_ops._mod_sum(mod_pos(alpha_hat[pi_] * b_hat[pi_], p), p, axis=0)
-        t2 = ntt_ops._mod_sum(mod_pos(beta_hat[pi_] * b_pp_hat[pi_], p), p, axis=0)
-        outs.append(mod_pos(t1 + t2, p))
-    return ntt_ops.ntt_inv_modq(jnp.stack(outs), plan)
+    pv = np.asarray(plan.primes)
+    t1 = ntt_ops._mod_sum_p(mod_pos(alpha_hat * b_hat, pv), pv, axis=1)
+    t2 = ntt_ops._mod_sum_p(mod_pos(beta_hat * b_pp_hat, pv), pv, axis=1)
+    return ntt_ops.ntt_inv_modq(mod_pos(t1 + t2, pv), plan)
 
 
 # ---------------------------------------------------------------------------
@@ -472,15 +462,12 @@ def u2_from_digits(crs, h_dig: jax.Array, params: LabradorParams,
 
 
 def _eval_add(a, b, plan):
-    outs = [mod_pos(a[pi] + b[pi], p) for pi, p in enumerate(plan.primes)]
-    return jnp.stack(outs)
+    return mod_pos(a + b, np.asarray(plan.primes))
 
 
 def _eval_scale(vec_hat, poly_hat, plan):
     """(P, m, d) pointwise-scaled by (P, d) ring element."""
-    outs = [mod_pos(vec_hat[pi] * poly_hat[pi][None, :], p)
-            for pi, p in enumerate(plan.primes)]
-    return jnp.stack(outs)
+    return mod_pos(vec_hat * poly_hat[:, None, :], np.asarray(plan.primes))
 
 
 # ---------------------------------------------------------------------------

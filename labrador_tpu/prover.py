@@ -20,6 +20,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .params import LabradorParams
 from .ops import ntt as ntt_ops
@@ -251,11 +252,13 @@ def prove_phase2(params: LabradorParams, witness: jax.Array, state: State,
     if zq_ops.is_big(p.q):
         # per-prime: residues of the exact integer (m + m^T) * inv2 < q^2
         # << M, then one Garner fold mod q — no 66-bit mulmod.
+        pv = np.asarray(plan.primes)
         m_res = zq_ops.to_res(m, plan.primes)                     # (P,r,r,d)
-        hs = [mod_pos(mod_pos(m_res[pi_] + jnp.swapaxes(m_res[pi_], 0, 1),
-                              pr) * (p.inv2 % pr), pr)
-              for pi_, pr in enumerate(plan.primes)]
-        h = zq_ops.fold_res_modq(jnp.stack(hs), plan, signed=False)
+        inv2_c = np.array([p.inv2 % int(pr) for pr in pv],
+                          np.int32).reshape(-1, 1, 1, 1)
+        hs = mod_pos(mod_pos(m_res + jnp.swapaxes(m_res, 1, 2), pv) * inv2_c,
+                     pv)
+        h = zq_ops.fold_res_modq(hs, plan, signed=False)
     else:
         h = mod_pos(mod_pos(m + jnp.swapaxes(m, 0, 1), p.q) * p.inv2, p.q)
 
@@ -277,12 +280,11 @@ def prove_phase3(params: LabradorParams, witness: jax.Array,
     ost = oracle.absorb(ost, DOM_U2, jax.tree.leaves(ph2["u_2"]))
     c = jnp.stack([sampling.sample_challenge(
         oracle.challenge_key(ost, TAG_CHALLENGE, i), p) for i in range(p.r)])
+    pv = np.asarray(plan.primes)
     c_hat = ntt_ops.ntt_fwd(c, plan)                              # (P, r, d)
-    z_hat_terms = []
-    for pi_, pr in enumerate(plan.primes):
-        prod = mod_pos(c_hat[pi_][:, None, :] * s_hat[pi_], pr)   # (r, n, d)
-        z_hat_terms.append(ntt_ops._mod_sum(prod, pr, axis=0))
-    z = ntt_ops.ntt_inv_modq(jnp.stack(z_hat_terms), plan)        # (n, d)
+    prod = mod_pos(c_hat[:, :, None, :] * s_hat, pv)              # (P,r,n,d)
+    z = ntt_ops.ntt_inv_modq(ntt_ops._mod_sum_p(prod, pv, axis=1),
+                             plan)                                # (n, d)
     return dict(c=c, z=z)
 
 

@@ -696,12 +696,10 @@ def fold(params: LabradorParams, state, proof: Transcript, crs,
                               plan)
     cc = ntt_ops.ntt_inv_modq(cc_hat, plan)                   # (r, r, d)
     phi_fin_hat = ntt_ops.ntt_fwd(phi_fin, plan)
-    cphi_hat = []
-    for pi_, pr in enumerate(plan.primes):
-        cphi_hat.append(ntt_ops._mod_sum(
-            mod_pos(c_hat[pi_][:, None, :] * phi_fin_hat[pi_], pr),
-            pr, axis=0))
-    cphi = ntt_ops.ntt_inv_modq(jnp.stack(cphi_hat), plan)    # (n, d)
+    pv = np.asarray(plan.primes)
+    cphi = ntt_ops.ntt_inv_modq(ntt_ops._mod_sum_p(
+        mod_pos(c_hat[:, :, None, :] * phi_fin_hat, pv), pv, axis=1),
+        plan)                                                 # (n, d)
 
     # dense family-0 row (the single F' family): group-A row rho = 0
     bpow = [pow(p.b, k, q) for k in range(layout.nz)]

@@ -92,16 +92,15 @@ def state_from_constraints(a_k: jax.Array, phi_k: jax.Array,
     g_hat = ntt_ops.ntt_fwd(g, plan)
     a_hat = ntt_ops.ntt_fwd(a_k, plan)
     phi_hat = ntt_ops.ntt_fwd(phi_k, plan)
-    outs = []
-    for pi_, pr in enumerate(plan.primes):
-        term_a = ntt_ops._mod_sum(
-            mod_pos(a_hat[pi_] * g_hat[pi_][None], pr).reshape(K, -1, p.d),
-            pr, axis=1)
-        term_phi = ntt_ops._mod_sum(
-            mod_pos(phi_hat[pi_] * s_hat[pi_][None], pr).reshape(K, -1, p.d),
-            pr, axis=1)
-        outs.append(mod_pos(term_a + term_phi, pr))
-    b_k = ntt_ops.ntt_inv_modq(jnp.stack(outs), plan)
+    pv = np.asarray(plan.primes)
+    P = len(pv)
+    term_a = ntt_ops._mod_sum_p(
+        mod_pos(a_hat * g_hat[:, None], pv).reshape(P, K, -1, p.d),
+        pv, axis=2)
+    term_phi = ntt_ops._mod_sum_p(
+        mod_pos(phi_hat * s_hat[:, None], pv).reshape(P, K, -1, p.d),
+        pv, axis=2)
+    b_k = ntt_ops.ntt_inv_modq(mod_pos(term_a + term_phi, pv), plan)
 
     return State(a_k=a_k, phi_k=phi_k, b_k=b_k,
                  a_prime_k=a_k, phi_prime_k=phi_k,

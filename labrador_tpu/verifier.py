@@ -17,6 +17,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .params import LabradorParams
 from .ops import ntt as ntt_ops
@@ -189,11 +190,10 @@ def verify_report_impl(params: LabradorParams, state: State,
                               use_pallas=use_pallas, s_coeff=z_coeff), 0)
     c_hat = ntt_ops.ntt_fwd(proof.c, plan)                     # (P, r, d)
     t_hat = ntt_ops.ntt_fwd(proof.t, plan)                     # (P,r,kap,d)
-    rhs_terms = []
-    for pi_, pr in enumerate(plan.primes):
-        prod = mod_pos(c_hat[pi_][:, None, :] * t_hat[pi_], pr)
-        rhs_terms.append(ntt_ops._mod_sum(prod, pr, axis=0))
-    rhs = ntt_ops.ntt_inv_modq(jnp.stack(rhs_terms), plan)     # (kappa, d)
+    pv = np.asarray(plan.primes)
+    rhs = ntt_ops.ntt_inv_modq(ntt_ops._mod_sum_p(
+        mod_pos(c_hat[:, :, None, :] * t_hat, pv), pv, axis=1),
+        plan)                                                  # (kappa, d)
     checks["c15_az_vs_ct"] = zq_ops.all_eq(lhs, rhs)
 
     # ---- check 16: <z,z> == sum_ij g_ij c_i c_j (verification.rs:303-314)
@@ -201,59 +201,41 @@ def verify_report_impl(params: LabradorParams, state: State,
     g_hat = ntt_ops.ntt_fwd(proof.g, plan)
     # c_i * c_j reduced mod q first (one multiplication level), then its
     # NTT multiplies g/h — keeps every product single-level in the CRT.
-    cc_raw = jnp.stack([mod_pos(c_hat[pi_][:, None, :] *
-                                c_hat[pi_][None, :, :], pr)
-                        for pi_, pr in enumerate(plan.primes)])
+    cc_raw = mod_pos(c_hat[:, :, None, :] * c_hat[:, None, :, :], pv)
     cc = ntt_ops.ntt_inv_modq(cc_raw, plan)                     # (r, r, d)
     cc_hat = ntt_ops.ntt_fwd(cc, plan)
-    rhs16 = []
-    for pi_, pr in enumerate(plan.primes):
-        prod = mod_pos(g_hat[pi_] * cc_hat[pi_], pr).reshape(-1, p.d)
-        rhs16.append(ntt_ops._mod_sum(prod, pr, axis=0))
-    rhs16 = ntt_ops.ntt_inv_modq(jnp.stack(rhs16), plan)
+    P = len(pv)
+    rhs16 = ntt_ops.ntt_inv_modq(ntt_ops._mod_sum_p(
+        mod_pos(g_hat * cc_hat, pv).reshape(P, -1, p.d), pv, axis=1), plan)
     checks["c16_zz_vs_gcc"] = zq_ops.all_eq(zz, rhs16)
 
     # ---- check 17: sum_i <phi_i,z> c_i == sum_ij h_ij c_i c_j
     # (verification.rs:320-334)
     h_hat = ntt_ops.ntt_fwd(proof.h, plan)
-    piz_raw = jnp.stack([
-        ntt_ops._mod_sum(
-            mod_pos(phi_fin_hat[pi_] * z_hat[pi_][None, :, :], pr),
-            pr, axis=1)                                         # (r, d)
-        for pi_, pr in enumerate(plan.primes)])
+    piz_raw = ntt_ops._mod_sum_p(
+        mod_pos(phi_fin_hat * z_hat[:, None, :, :], pv), pv,
+        axis=2)                                                 # (P, r, d)
     piz = ntt_ops.ntt_inv_modq(piz_raw, plan)                   # reduce level
     piz_hat = ntt_ops.ntt_fwd(piz, plan)
-    lhs17 = []
-    for pi_, pr in enumerate(plan.primes):
-        term = mod_pos(piz_hat[pi_] * c_hat[pi_], pr)
-        lhs17.append(ntt_ops._mod_sum(term, pr, axis=0))
-    lhs17 = ntt_ops.ntt_inv_modq(jnp.stack(lhs17), plan)
-    rhs17 = []
-    for pi_, pr in enumerate(plan.primes):
-        prod = mod_pos(h_hat[pi_] * cc_hat[pi_], pr).reshape(-1, p.d)
-        rhs17.append(ntt_ops._mod_sum(prod, pr, axis=0))
-    rhs17 = ntt_ops.ntt_inv_modq(jnp.stack(rhs17), plan)
+    lhs17 = ntt_ops.ntt_inv_modq(ntt_ops._mod_sum_p(
+        mod_pos(piz_hat * c_hat, pv), pv, axis=1), plan)
+    rhs17 = ntt_ops.ntt_inv_modq(ntt_ops._mod_sum_p(
+        mod_pos(h_hat * cc_hat, pv).reshape(P, -1, p.d), pv, axis=1), plan)
     checks["c17_phiz_vs_hcc"] = zq_ops.all_eq(lhs17, rhs17)
 
     # ---- check 18: sum_ij a_ij g_ij + sum_i h_ii == b (verification.rs:340-352)
-    s18 = []
-    for pi_, pr in enumerate(plan.primes):
-        ag = ntt_ops._mod_sum(
-            mod_pos(a_fin_hat[pi_] * g_hat[pi_], pr).reshape(-1, p.d),
-            pr, axis=0)
-        s18.append(ag)
-    s1 = ntt_ops.ntt_inv_modq(jnp.stack(s18), plan)
+    s1 = ntt_ops.ntt_inv_modq(ntt_ops._mod_sum_p(
+        mod_pos(a_fin_hat * g_hat, pv).reshape(P, -1, p.d), pv, axis=1),
+        plan)
     if zq_ops.is_big(p.q):
         # total = s1 + sum_i h_ii - b mod q, via one residue fold (the
         # exact integer is in (-q, (r+2) q) << M)
         h_res = zq_ops.to_res(proof.h, plan.primes)       # (P, r, r, d)
-        tot = []
-        for pi_, pr in enumerate(plan.primes):
-            diag = ntt_ops._mod_sum(
-                jnp.einsum("iid->id", h_res[pi_]) % pr, pr, axis=0)
-            tot.append(mod_pos(zq_ops.to_res(s1, (pr,))[0] + diag
-                               - zq_ops.to_res(b, (pr,))[0], pr))
-        total = zq_ops.fold_res_modq(jnp.stack(tot), plan, signed=True)
+        diag = ntt_ops._mod_sum_p(
+            mod_pos(jnp.einsum("piid->pid", h_res), pv), pv, axis=1)
+        tot = mod_pos(zq_ops.to_res(s1, plan.primes) + diag
+                      - zq_ops.to_res(b, plan.primes), pv)
+        total = zq_ops.fold_res_modq(tot, plan, signed=True)
         checks["c18_agg_relation"] = jnp.all(zq_ops.is_zero(total))
     else:
         s2 = mod_pos(jnp.sum(jnp.einsum("iid->id", proof.h) % p.q, axis=0),
