@@ -262,9 +262,12 @@ def main():
     import jax
     _stderr(f"devices: {jax.devices()}")
 
-    # default: fused Pallas kernel on real TPUs, XLA path elsewhere
+    # default: the XLA CRT-NTT path — since the prime-axis vectorization it
+    # beats the fused Pallas kernel for PAIRWISE products on chip (40.1M vs
+    # 34.2M ops/s, round 4); --pallas opts into the fused kernel (which
+    # still wins for the shared-operand commitment matmuls, see PERF.md)
     on_tpu = jax.devices()[0].platform != "cpu"
-    use_pallas = (args.pallas or on_tpu) and not args.no_pallas
+    use_pallas = args.pallas and not args.no_pallas
     if on_tpu:
         # ~0.5-1 s of device work per dispatch at the observed ~6 G/s
         # steady state, so the per-dispatch fetch round-trip is noise

@@ -131,6 +131,31 @@ def _pshape(v: np.ndarray, ndim: int) -> np.ndarray:
     return v.reshape((v.shape[0],) + (1,) * (ndim - 1))
 
 
+def mod_pos_small(x: jax.Array, primes) -> jax.Array:
+    """One-step float32 Barrett, result in [0, m).
+
+    EXACT for int32 |x| < 2^24 with every modulus m >= 64: fl(x) is exact,
+    so the rounded quotient errs by < 0.5 + (2^24/64)*2^-23 < 0.6 and one
+    conditional add lands the remainder in [0, m).  Half the cost of the
+    general two-step ``mod_pos`` — used on the d=64 transform dot outputs
+    (|.| <= 64*127*127 < 2^21).  primes: static (P,) vector matching x's
+    leading axis."""
+    pv = np.asarray(primes).reshape(-1)
+    assert (pv >= 64).all()
+    if pv.size == 1:
+        # plain scalars — Pallas kernels reject captured array constants
+        m32 = np.int32(pv[0])
+        inv = np.float32(1.0 / int(pv[0]))
+    else:
+        bshape = (pv.shape[0],) + (1,) * (x.ndim - 1)
+        m32 = pv.astype(np.int32).reshape(bshape)
+        inv = np.array([np.float32(1.0 / int(v)) for v in pv],
+                       np.float32).reshape(bshape)
+    q1 = jnp.round(x.astype(jnp.float32) * inv).astype(jnp.int32)
+    r = x - q1 * m32
+    return jnp.where(r < 0, r + m32, r)
+
+
 def modmul_mm_p(a: jax.Array, b: jax.Array, primes, *,
                 extra_batch: int = 0) -> jax.Array:
     """Exact per-prime (a @ b) mod primes[i] as ONE batched int8 MXU dot.
@@ -161,6 +186,22 @@ def modmul_mm_p(a: jax.Array, b: jax.Array, primes, *,
     p11 = _dot_i8(a_hi, b_hi, dn)
     p10 = _dot_i8(a_hi, b_lo, dn) + _dot_i8(a_lo, b_hi, dn)
     p00 = _dot_i8(a_lo, b_lo, dn)
+    if 2 * n * 127 * 127 < (1 << 24):
+        # short contractions (the d=64 transforms): |p10| < 2^24, so the
+        # one-step reduction is exact, and CENTERED limb-weight constants
+        # (|c| <= p/2) keep the recombination in int32 with ONE final
+        # full reduction: |m11*c16c| + |m10*c8c| + |p00| < 2^30 + 2^21.
+        c16c = _pshape(np.array(
+            [(1 << 16) % int(p) - (int(p) if ((1 << 16) % int(p)) > p // 2
+                                   else 0) for p in primes], np.int32),
+            p11.ndim)
+        c8c = _pshape(np.array(
+            [(1 << 8) % int(p) - (int(p) if ((1 << 8) % int(p)) > p // 2
+                                  else 0) for p in primes], np.int32),
+            p11.ndim)
+        r = mod_pos_small(p11, primes) * c16c \
+            + mod_pos_small(p10, primes) * c8c + p00
+        return mod_pos(r, primes)
     c16 = _pshape(np.array([(1 << 16) % int(p) for p in primes], np.int32),
                   p11.ndim)
     c8 = _pshape(np.array([(1 << 8) % int(p) for p in primes], np.int32),

@@ -24,7 +24,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .ntt import NttPlan
-from .modmath import P_MAX, mod_pos
+from .modmath import P_MAX, mod_pos, mod_pos_small
 
 BLOCK = 1024  # polynomials per grid step; VMEM ~ BLOCK*64*4B*(#temps)
 
@@ -56,10 +56,14 @@ def _mm_mod(x_hi, x_lo, m_hi, m_lo, p: int):
     p11 = dot(x_hi, m_hi)
     p10 = dot(x_hi, m_lo) + dot(x_lo, m_hi)
     p00 = dot(x_lo, m_lo)
-    c16 = (1 << 16) % p
-    c8 = (1 << 8) % p
-    return mod_pos(mod_pos(mod_pos(p11, p) * c16, p)
-                   + mod_pos(mod_pos(p10, p) * c8, p) + mod_pos(p00, p), p)
+    # d=64 contraction: |p10| < 2^21, one-step reductions are exact and
+    # centered limb weights keep the recombination in int32 — one final
+    # full reduction (see modmath.modmul_mm_p's short-contraction branch)
+    c16c = (1 << 16) % p - (p if ((1 << 16) % p) > p // 2 else 0)
+    c8c = (1 << 8) % p - (p if ((1 << 8) % p) > p // 2 else 0)
+    pv = np.array([p])
+    r = mod_pos_small(p11, pv) * c16c + mod_pos_small(p10, pv) * c8c + p00
+    return mod_pos(r, p)
 
 
 def _split_i8_arr(x):
