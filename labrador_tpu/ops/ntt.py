@@ -190,8 +190,15 @@ def ntt_inv_modp(xhat: jax.Array, plan: NttPlan) -> jax.Array:
 
 def eval_mul(ahat: jax.Array, bhat: jax.Array, plan: NttPlan) -> jax.Array:
     """Pointwise product in the evaluation domain (per prime, one
-    vectorized reduction over the whole CRT stack)."""
-    return mod_pos(ahat * bhat, np.asarray(plan.primes))
+    vectorized reduction over the whole CRT stack).  Operands broadcast
+    like the per-prime slices did: trailing dims align AFTER the leading
+    prime axis."""
+    nd = max(ahat.ndim, bhat.ndim)
+    a = ahat.reshape(ahat.shape[:1] + (1,) * (nd - ahat.ndim)
+                     + ahat.shape[1:])
+    b = bhat.reshape(bhat.shape[:1] + (1,) * (nd - bhat.ndim)
+                     + bhat.shape[1:])
+    return mod_pos(a * b, np.asarray(plan.primes))
 
 
 def negacyclic_polymul(a: jax.Array, b: jax.Array, plan: NttPlan) -> jax.Array:
