@@ -52,10 +52,13 @@ def main():
     proof = prover.prove(p, w, state, crs, kv, decomp_mode="exact")
     wait_for(proof)               # fetch-based (axon block == enqueue ack)
     t_prove = time.time() - t0
-    size = structs.transcript_size_in_bytes(jax.device_get(proof), p.q)
+    got = jax.device_get(proof)
+    size = structs.transcript_size_in_bytes(got, p.q)
+    size_fs = structs.transcript_size_in_bytes(got, p.q, fs=True)
     print(json.dumps(dict(level=0, n=p.n, r=p.r, kappa=p.kappa,
                           witness_coeffs=p.n * p.r * p.d,
                           proof_kb=round(size / 1024, 1),
+                          fs_proof_kb=round(size_fs / 1024, 1),
                           prove_s=round(t_prove, 2))), flush=True)
 
     for lvl in range(1, args.levels + 1):
@@ -77,12 +80,14 @@ def main():
                                      decomp_mode="exact")
         ok = bool(rep["all"])
         t_verify2 = time.time() - t0
-        size2 = structs.transcript_size_in_bytes(jax.device_get(proof2),
-                                                 p2.q)
+        got2 = jax.device_get(proof2)
+        size2 = structs.transcript_size_in_bytes(got2, p2.q)
+        size2_fs = structs.transcript_size_in_bytes(got2, p2.q, fs=True)
         print(json.dumps(dict(
             level=lvl, n=p2.n, r=p2.r, k_families=p2.k_count,
             witness_coeffs=p2.n * p2.r * p2.d,
-            proof_kb=round(size2 / 1024, 1), fold_s=round(t_fold, 2),
+            proof_kb=round(size2 / 1024, 1),
+            fs_proof_kb=round(size2_fs / 1024, 1), fold_s=round(t_fold, 2),
             prove_s=round(t_prove2, 2), verify_s=round(t_verify2, 2),
             verified=ok)), flush=True)
         p, state, proof, crs = p2, st2, proof2, crs2

@@ -215,25 +215,40 @@ def load_transcript(path: str) -> Transcript:
         return Transcript(**fields)
 
 
-def transcript_size_in_bytes(tr: Transcript, q: int) -> int:
+def transcript_size_in_bytes(tr: Transcript, q: int,
+                             fs: bool = False) -> int:
     """Compressed transcript size: bincode-equivalent byte layout + gzip at
     max compression, matching ``Transcript::size_in_bytes``
     (``structs.rs:212-221``) so proof-size numbers are comparable.
 
     The JL matrices are serialized lifted mod q (the reference lifts them to
-    Zq before storing, ``proofgen.rs:445-453``)."""
-    pi_lifted = np.asarray(tr.pi, np.int64) % q
-    parts = [
-        _bincode_poly_vec(zq_ops.to_py(tr.u_1)),
-        _bincode_zq_vec(pi_lifted),
-        _bincode_zq_vec(zq_ops.to_py(tr.projection)),
-        _bincode_zq_vec(zq_ops.to_py(tr.psi)),
-        _bincode_zq_vec(zq_ops.to_py(tr.omega)),
-        _bincode_poly_vec(zq_ops.to_py(tr.b_prime_prime)),
-        _bincode_poly_vec(zq_ops.to_py(tr.alpha)),
-        _bincode_poly_vec(zq_ops.to_py(tr.beta)),
-        _bincode_poly_vec(zq_ops.to_py(tr.u_2)),
-        _bincode_poly_vec(zq_ops.to_py(tr.c)),
+    Zq before storing, ``proofgen.rs:445-453``).
+
+    ``fs=True`` measures the NON-INTERACTIVE proof: verifier randomness
+    (Pi, psi, omega, alpha, beta, c) is re-derived from the Fiat-Shamir
+    sponge (FS_SPEC.md) and does not ship — only the prover messages
+    u1, p, b'', u2, z, t, g, h do.  The reference metric stores everything
+    (it models the interactive transcript), which makes the serialized JL
+    matrices dominate and can never let a folded proof shrink; the FS
+    metric is the one recursion is judged by (PERF.md recursion table)."""
+    # field order is the reference's Transcript declaration order
+    # (structs.rs:193-209) — byte-stream parity with the refsim depends on
+    # it; fs=True simply drops the derivable fields, keeping that order
+    parts = [_bincode_poly_vec(zq_ops.to_py(tr.u_1))]
+    if not fs:
+        parts += [_bincode_zq_vec(np.asarray(tr.pi, np.int64) % q)]
+    parts += [_bincode_zq_vec(zq_ops.to_py(tr.projection))]
+    if not fs:
+        parts += [_bincode_zq_vec(zq_ops.to_py(tr.psi)),
+                  _bincode_zq_vec(zq_ops.to_py(tr.omega))]
+    parts += [_bincode_poly_vec(zq_ops.to_py(tr.b_prime_prime))]
+    if not fs:
+        parts += [_bincode_poly_vec(zq_ops.to_py(tr.alpha)),
+                  _bincode_poly_vec(zq_ops.to_py(tr.beta))]
+    parts += [_bincode_poly_vec(zq_ops.to_py(tr.u_2))]
+    if not fs:
+        parts += [_bincode_poly_vec(zq_ops.to_py(tr.c))]
+    parts += [
         _bincode_poly_vec(zq_ops.to_py(tr.z)),
         _bincode_poly_vec(zq_ops.to_py(tr.t)),
         _bincode_poly_vec(zq_ops.to_py(tr.g)),

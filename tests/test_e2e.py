@@ -80,8 +80,13 @@ def test_verify_rejects_oversized_witness_digits(setup):
 
 def test_transcript_roundtrip_size(setup):
     _, _, _, proof = setup
-    size = structs.transcript_size_in_bytes(jax.device_get(proof), P.q)
+    got = jax.device_get(proof)
+    size = structs.transcript_size_in_bytes(got, P.q)
     assert 10_000 < size < 1_000_000
+    # FS metric drops the sponge-derivable fields (Pi dominates), so it
+    # must be strictly and substantially smaller than the full transcript
+    size_fs = structs.transcript_size_in_bytes(got, P.q, fs=True)
+    assert 1_000 < size_fs < size // 2
 
 
 def test_exact_decomp_mode_e2e():
