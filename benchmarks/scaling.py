@@ -36,6 +36,11 @@ def main():
     ap.add_argument("--kappa", type=int, default=0,
                     help="commitment-rank override (0 = reference n*d rule)")
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--config", type=int, nargs=2, metavar=("N", "R"),
+                    default=None,
+                    help="run ONE (n, r) config instead of the doubling "
+                         "sweep (e.g. --config 512 32 for a 2^20 witness "
+                         "with a smaller r^2 tail)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -58,11 +63,21 @@ def main():
 
     n, r = 2, 2  # start at 2^2 ring elements * d coeffs
     results = []
-    for pow2 in range(2, args.max_pow - 5 + 1):  # r*n (ring elems) = 2^pow2
+    if args.config:
+        configs = [tuple(args.config)]
+    else:
+        configs = []
+        for _pow2 in range(2, args.max_pow - 5 + 1):
+            configs.append((n, r))
+            if _pow2 % 2 == 0:
+                n *= 2
+            else:
+                r *= 2
+    for pow2, (n, r) in enumerate(configs, start=2):
         total_coeffs = n * r * 64
-        if total_coeffs.bit_length() - 1 > args.max_pow:
+        if total_coeffs.bit_length() - 1 > args.max_pow and not args.config:
             break
-        if total_coeffs.bit_length() - 1 >= args.min_pow:
+        if total_coeffs.bit_length() - 1 >= args.min_pow or args.config:
             p = LabradorParams(n=n, r=r, kappa_override=args.kappa)
             key = jax.random.key(pow2)
             kw, ks, kv = jax.random.split(key, 3)
@@ -109,11 +124,6 @@ def main():
             }
             results.append(row)
             print(json.dumps(row), flush=True)
-        # alternate doubling (labrador_perf.rs:23-30)
-        if pow2 % 2 == 0:
-            n *= 2
-        else:
-            r *= 2
     return results
 
 

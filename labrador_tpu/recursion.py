@@ -712,7 +712,10 @@ def fold(params: LabradorParams, state, proof: Transcript, crs,
         flat0 = zq_ops.tmap(
             lambda o, v: o.at[pos:pos + p.n].set(v), flat0,
             _scale_modq(a_row0, bpow[k], plan, q))
-    neg_c = zq_ops.sub(zq_ops.zeros((p.r, d), q), c, q)
+    # big-q: c is the signed small-tensor convention — lift to canonical
+    # two-limb before the generic subtract (round-4 bench-exposed fix)
+    c_can = zq_ops.from_signed(c, q) if zq_ops.is_big(q) else c
+    neg_c = zq_ops.sub(zq_ops.zeros((p.r, d), q), c_can, q)
     for i in range(p.r):
         for k2 in range(p.t_1):
             pos = layout.t_pos(i, k2, 0)

@@ -24,7 +24,9 @@ from __future__ import annotations
 
 import os
 
-CACHE_DIR = "/root/.cache/jax_comp"
+# overridable so CI can run a genuinely cold suite next to a warm one
+CACHE_DIR = os.environ.get("LABRADOR_COMPILE_CACHE",
+                           "/root/.cache/jax_comp")
 
 # Compressed on-disk entry cap.  The observed-crashing entries were
 # ~150 MB serialized; zlib gets ~3x on XLA executables, so 24 MB
