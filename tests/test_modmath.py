@@ -90,3 +90,19 @@ def test_mod_pos_float_barrett_exact():
         got = np.asarray(mm.mod_pos(jnp.asarray(xs), m))
         want = np.mod(xs.astype(np.int64), m).astype(np.int32)
         np.testing.assert_array_equal(got, want, err_msg=f"m={m}")
+
+
+def test_mod_pos_small_one_step_exact():
+    """One-step float Barrett (mod_pos_small): exact over its documented
+    contract |x| < 2^24, m >= 64 — used on the d=64 transform dot outputs
+    inside modmul_mm_p and the fused NTT kernel."""
+    rng = np.random.default_rng(7)
+    lim = (1 << 24) - 1
+    for m in (64, 257, 8191, 12289, 32503, mm.P_MAX):
+        xs = np.concatenate([
+            rng.integers(-lim, lim, 100000),
+            np.array([0, 1, -1, lim, -lim, m, -m, m - 1, 1 - m], np.int64),
+        ]).astype(np.int32)
+        got = np.asarray(mm.mod_pos_small(jnp.asarray(xs), np.array([m])))
+        want = np.mod(xs.astype(np.int64), m).astype(np.int32)
+        np.testing.assert_array_equal(got, want, err_msg=f"m={m}")
