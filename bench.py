@@ -28,14 +28,20 @@ def _stderr(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-# Roofline guard for the headline metric.  One d=64 negacyclic product on
-# the CRT/circulant MXU path is ~3 primes x 4 int8 limb-dots x 64x64 MACs
-# = 49,152 int8 MACs; a v5e chip peaks at ~394 int8 TOPS.  Any measured
-# rate whose implied MAC throughput exceeds the chip peak is a measurement
-# artifact (round 3 committed 227 G ops/s = 28x the roofline because
-# ``jax.block_until_ready`` on the axon relay acks enqueue, not
-# completion), so the bench REFUSES to report one.
-MACS_PER_PRODUCT = 49_152
+# Roofline guard for the headline metric.  THE one consistent accounting
+# (round 5, used identically in PERF.md): one pairwise d=64 negacyclic
+# product on the CRT path executes 2 transforms (forward of the tweaked
+# input + inverse; the constant operand's forward transform is
+# loop-invariant and hoisted out of the scan) x 3 CRT primes x one packed
+# 128x128 int8 limb-dot (= 16,384 MACs, exactly the 4 64x64 limb products)
+# = 98,304 int8 MACs/product.  A v5e chip peaks at ~394 int8 TOPS, so
+# chip-peak ceiling = 4.0 G products/s at 100% MXU utilization (the packed
+# dot IS a native 128x128 tile, so there is no further shape-packing
+# discount).  Any measured rate whose implied MAC throughput exceeds the
+# chip peak is a measurement artifact (round 3 committed 227 G ops/s = 28x
+# the roofline because ``jax.block_until_ready`` on the axon relay acks
+# enqueue, not completion), so the bench REFUSES to report one.
+MACS_PER_PRODUCT = 98_304
 V5E_INT8_MACS_PER_S = 394e12
 
 
@@ -70,19 +76,25 @@ def bench_polymul(batch: int = 65_536, scan_len: int = 1024,
     p = LabradorParams(n=2, r=2)
     plan = ntt.plan_for(p)
     if use_pallas:
+        # hoisted-operand fused kernel: b's forward transform is computed
+        # ONCE outside the scan — exactly what XLA does on the unfused path
+        # (fwd(b) is loop-invariant), so both paths pay 2 transforms/product
         from labrador_tpu.ops import ntt_pallas
-        mul = lambda a, b: ntt_pallas.negacyclic_polymul_pallas(a, b, plan)
+        mul = lambda a, bhat: ntt_pallas.negacyclic_polymul_pallas_bhat(
+            a, bhat, plan)
     else:
-        mul = lambda a, b: ntt.negacyclic_polymul(a, b, plan)
+        mul = lambda a, bhat: ntt.ntt_inv_modq(
+            ntt.eval_mul(ntt.ntt_fwd(a, plan), bhat, plan), plan)
 
     def run(key):
         ka, kb = jax.random.split(key)
         a = sampling.uniform_zq(ka, (batch, p.d), p.q)
         b = sampling.uniform_zq(kb, (batch, p.d), p.q)
+        bhat = ntt.ntt_fwd(b, plan)           # loop-invariant: paid once
 
         def body(carry, _):
             aj = mod_pos(a ^ carry, p.q)      # distinct input every step
-            out = mul(aj, b)
+            out = mul(aj, bhat)
             return carry ^ out, None
 
         carry, _ = jax.lax.scan(body, jnp.zeros((batch, p.d), jnp.int32),

@@ -63,6 +63,17 @@ def mod_pos(x: jax.Array, m) -> jax.Array:
         inv = np.array([np.float32(1.0 / int(v)) for v in m],
                        np.float32).reshape(bshape)
     else:
+        if isinstance(m, np.ndarray) and m.ndim == 1:
+            # A 1-D modulus vector that missed the fast path would silently
+            # broadcast down x's TRAILING axis under jnp.remainder —
+            # per-element moduli instead of per-prime, wrong values with no
+            # error (ADVICE r4).  Refuse instead.
+            raise ValueError(
+                f"mod_pos: 1-D modulus vector shape {m.shape} does not hit "
+                f"the per-prime fast path for x shape {x.shape} dtype "
+                f"{x.dtype} (need m.shape[0] == x.shape[0], all m <= "
+                f"{P_MAX}, int32 x); broadcasting would be per-last-axis "
+                f"and silently wrong")
         return jnp.remainder(x, jnp.asarray(m, dtype=x.dtype))
     q1 = jnp.round(x.astype(jnp.float32) * inv).astype(jnp.int32)
     r1 = x - q1 * m32
@@ -156,16 +167,44 @@ def mod_pos_small(x: jax.Array, primes) -> jax.Array:
     return jnp.where(r < 0, r + m32, r)
 
 
+# Contraction-length tiers for the PACKED one-dot scheme below.  Limb
+# magnitudes: a_hi, c_hi, b_hi in [0, 127]; a_lo, c_lo, b_lo in [-128, 127].
+#   P1 = a_hi@c_hi + a_lo@b_hi  in  n * [-16256, 32258]
+#   P0 = a_hi@c_lo + a_lo@b_lo  in  n * [-32512, 32513]
+# tier 1 (n <= 256):  |256*P1 + P0| <= n*8290561 < 2^31 - 2^20 -> the
+#   recombination fits int32 and ONE two-step mod_pos is exact.
+# tier 2 (n <= 520):  |P1| <= n*32258 < 2^24 -> one-step mod_pos_small on
+#   P1 is exact; |(P1 mod p)<<8| + |P0| < 2^23 + 2^25 -> one two-step.
+# tier 3 (n <= 65536): two-step mod_pos on each of P1, P0 (|.| <= n*32513
+#   <= 2^31 - 2^20 for n <= 65536); 256*(p-1) + (p-1) < 2^24 -> final
+#   one-step.  The int8 dot accumulator itself is safe to n = 65536
+#   (n * 32513 < 2^31), so a SINGLE dot covers every tier.
+PACK_T1 = 256
+PACK_T2 = 520
+
+
 def modmul_mm_p(a: jax.Array, b: jax.Array, primes, *,
                 extra_batch: int = 0) -> jax.Array:
     """Exact per-prime (a @ b) mod primes[i] as ONE batched int8 MXU dot.
 
     a: (P, ..., m, n) int32 with a[i] in [0, primes[i]);
     b: (P, ..., n, k) likewise; `extra_batch` additional batch axes follow
-    the prime axis.  Equivalent to stacking modmul_mm per prime, but the
-    whole CRT stack runs as a single dot_general + one vectorized
-    reduction — both the compile-time and the dispatch cost stop scaling
+    the prime axis.  Equivalent to stacking per-prime modular matmuls, but
+    the whole CRT stack runs as a single dot_general + a 1-3-step
+    vectorized reduction — compile-time and dispatch cost stop scaling
     with the number of primes.
+
+    PACKED limb scheme (round 5): with c = (256*b) mod p,
+        a @ b = (256*a_hi + a_lo) @ b = a_hi @ c + a_lo @ b   (mod p),
+    and splitting c and b into int8 limbs gives
+        [a_hi | a_lo] @ [[c_hi | c_lo], [b_hi | b_lo]] = [P1 | P0],
+        a @ b = 256*P1 + P0  (mod p).
+    The 4 limb-products collapse into ONE int8 dot of shape
+    (..., m, 2n) @ (..., 2n, 2k) — for the d=64 transforms that is a full
+    native 128x128 MXU tile (4x the packing of 64-wide dots) — and the
+    4-6 per-element reductions of the old scheme drop to 1 (n <= 256),
+    2 (n <= 520) or 3 (n <= 65536).  When b is a static twiddle matrix,
+    XLA constant-folds the c/limb preparation entirely.
     """
     primes = np.asarray(primes, np.int64)
     n = a.shape[-1]
@@ -181,34 +220,24 @@ def modmul_mm_p(a: jax.Array, b: jax.Array, primes, *,
 
     bd = tuple(range(1 + extra_batch))
     dn = (((a.ndim - 1,), (b.ndim - 2,)), (bd, bd))
+    k = b.shape[-1]
+    # c = (256*b) mod p: b < 2^15 so b<<8 < 2^23 — one-step exact
+    c = mod_pos_small(b << 8, primes)
     a_hi, a_lo = split_i8(a)
+    c_hi, c_lo = split_i8(c)
     b_hi, b_lo = split_i8(b)
-    p11 = _dot_i8(a_hi, b_hi, dn)
-    p10 = _dot_i8(a_hi, b_lo, dn) + _dot_i8(a_lo, b_hi, dn)
-    p00 = _dot_i8(a_lo, b_lo, dn)
-    if 2 * n * 127 * 127 < (1 << 24):
-        # short contractions (the d=64 transforms): |p10| < 2^24, so the
-        # one-step reduction is exact, and CENTERED limb-weight constants
-        # (|c| <= p/2) keep the recombination in int32 with ONE final
-        # full reduction: |m11*c16c| + |m10*c8c| + |p00| < 2^30 + 2^21.
-        c16c = _pshape(np.array(
-            [(1 << 16) % int(p) - (int(p) if ((1 << 16) % int(p)) > p // 2
-                                   else 0) for p in primes], np.int32),
-            p11.ndim)
-        c8c = _pshape(np.array(
-            [(1 << 8) % int(p) - (int(p) if ((1 << 8) % int(p)) > p // 2
-                                  else 0) for p in primes], np.int32),
-            p11.ndim)
-        r = mod_pos_small(p11, primes) * c16c \
-            + mod_pos_small(p10, primes) * c8c + p00
-        return mod_pos(r, primes)
-    c16 = _pshape(np.array([(1 << 16) % int(p) for p in primes], np.int32),
-                  p11.ndim)
-    c8 = _pshape(np.array([(1 << 8) % int(p) for p in primes], np.int32),
-                 p11.ndim)
-    r = mod_pos(mod_pos(p11, primes) * c16, primes) \
-        + mod_pos(mod_pos(p10, primes) * c8, primes) + mod_pos(p00, primes)
-    return mod_pos(r, primes)
+    a2 = jnp.concatenate([a_hi, a_lo], axis=-1)                # (..., m, 2n)
+    w = jnp.concatenate([jnp.concatenate([c_hi, b_hi], axis=-2),
+                         jnp.concatenate([c_lo, b_lo], axis=-2)],
+                        axis=-1)                               # (..., 2n, 2k)
+    d = _dot_i8(a2, w, dn)                                     # (..., m, 2k)
+    p1, p0 = d[..., :k], d[..., k:]
+    if n <= PACK_T1:
+        return mod_pos((p1 << 8) + p0, primes)
+    if n <= PACK_T2:
+        return mod_pos((mod_pos_small(p1, primes) << 8) + p0, primes)
+    return mod_pos_small((mod_pos(p1, primes) << 8) + mod_pos(p0, primes),
+                         primes)
 
 
 def modmul_point(a: jax.Array, b: jax.Array, p) -> jax.Array:

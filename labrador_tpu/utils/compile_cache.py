@@ -44,6 +44,19 @@ def enable_persistent_cache(min_compile_secs: float = 1.0,
                             max_serialized_bytes: int = MAX_SERIALIZED_BYTES,
                             ) -> None:
     import jax
+
+    # The size gate below monkeypatches private jax internals whose
+    # signatures were verified against jax 0.9.x only; on any other version
+    # fall back to NOT caching (with a warning) rather than risk re-exposing
+    # the deserialize_executable segfault path (ADVICE r4).
+    if not jax.__version__.startswith("0.9."):
+        import warnings
+        warnings.warn(
+            f"labrador_tpu compile-cache size gate is pinned to jax 0.9.x "
+            f"internals (found {jax.__version__}); persistent compilation "
+            f"cache DISABLED", RuntimeWarning)
+        return
+
     from jax._src import compilation_cache as _cc
 
     _cc.zstd = None

@@ -34,6 +34,21 @@ def test_fused_polymul_block_padding():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+def test_fused_polymul_hoisted_bhat_matches_xla():
+    """The hoisted-operand kernel (b pre-transformed, its forward paid
+    once) must agree bit-for-bit with the XLA path — including above BLOCK
+    (grid + padding)."""
+    rng = np.random.default_rng(9)
+    for n in (500, ntt_pallas.BLOCK + 33):
+        a = jnp.asarray(rng.integers(0, P.q, (n, 64)), jnp.int32)
+        b = jnp.asarray(rng.integers(0, P.q, (n, 64)), jnp.int32)
+        bhat = ntt.ntt_fwd(b, PLAN)
+        with pltpu.force_tpu_interpret_mode():
+            got = ntt_pallas.negacyclic_polymul_pallas_bhat(a, bhat, PLAN)
+        want = ntt.negacyclic_polymul(a, b, PLAN)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_fused_ajtai_matches_xla():
     """The fused PRG + circulant-MXU-matmul Ajtai kernel must be
     bit-identical to the streamed XLA path (the second config exercises the
