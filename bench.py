@@ -248,6 +248,108 @@ def bench_batch_prove(batch: int = 16, n: int = 2, r: int = 2,
     return batch / dt
 
 
+def bench_batch_verify(batch: int = 16, n: int = 2, r: int = 2,
+                       iters: int = 5) -> float:
+    """Proofs-verified/s for a vmapped batch of independent proofs on one
+    chip — the serving-critical axis for a proof system (round-4 verdict
+    weak #4; pairs with bench_batch_prove's proofs/s)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from labrador_tpu.params import LabradorParams
+    from labrador_tpu import sampling, structs, verifier
+    from labrador_tpu.crs import CRS
+    from labrador_tpu.prover import prove_impl
+    from labrador_tpu.oracle import InteractiveOracle
+
+    p = LabradorParams(n=n, r=r)
+    keys = jax.random.split(jax.random.key(5), batch * 3).reshape(batch, 3)
+    wit = jnp.stack([sampling.generate_witness(k[0], p) for k in keys])
+    states = [structs.generate_state(keys[i][1], wit[i], p)
+              for i in range(batch)]
+    state_b = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+    crs_keys = jnp.stack([CRS.create(p, seed=2000 + i).key
+                          for i in range(batch)])
+    vkeys = jnp.stack([keys[i][2] for i in range(batch)])
+
+    @jax.jit
+    def make_proofs(vkeys):
+        def one(w, st, ck, vk):
+            return prove_impl(p, w, st, CRS(key=ck, params=p),
+                              InteractiveOracle(vkey=vk))
+        return jax.vmap(one)(wit, state_b, crs_keys, vkeys)
+
+    # iters DISTINCT proof batches: each scan step verifies different
+    # proofs (no loop hoisting/CSE), stacked to (iters, batch, ...)
+    batches = [make_proofs(jax.vmap(
+        lambda k, i=i: jax.random.fold_in(k, i))(vkeys))
+        for i in range(iters)]
+    proofs_s = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+    ok0 = np.asarray(jax.vmap(
+        lambda st, pf, ck: verifier.verify_report_impl(
+            p, st, pf, CRS(key=ck, params=p))["all"])(
+        state_b, batches[0], crs_keys))
+    assert ok0.all(), "batch proofs failed verification"
+
+    @jax.jit
+    def run(proofs_s, salt):
+        def body(carry, pf_b):
+            rep = jax.vmap(lambda st, f, ck: verifier.verify_report_impl(
+                p, st, f, CRS(key=ck, params=p)))(state_b, pf_b, crs_keys)
+            return carry ^ _checksum(rep), None
+        acc, _ = jax.lax.scan(body, salt, proofs_s)
+        return acc
+
+    _ = np.asarray(run(proofs_s, jnp.int32(0)))  # compile + warm (fetched)
+    t0 = time.perf_counter()
+    _ = np.asarray(run(proofs_s, jnp.int32(1)))  # distinct input: no dedupe
+    dt = (time.perf_counter() - t0) / iters
+    return batch / dt
+
+
+def bench_verify_profile(n: int = 2, r: int = 2) -> dict:
+    """Per-check cost attribution: each check is timed as its OWN jitted
+    program computing only that check's output (XLA dead-code-eliminates
+    the rest), so shared recomputation is double-counted across rows but
+    the dominant check is unambiguous.  enqueue->fetch timed."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from labrador_tpu.params import LabradorParams
+    from labrador_tpu import sampling, structs, prover, verifier
+    from labrador_tpu.crs import CRS
+
+    p = LabradorParams(n=n, r=r)
+    kw, ks, kv = jax.random.split(jax.random.key(13), 3)
+    witness = sampling.generate_witness(kw, p)
+    state = structs.generate_state(ks, witness, p)
+    crs = CRS.create(p, seed=0x9E0F)
+    proofs = [prover.prove(p, witness, state, crs,
+                           jax.random.fold_in(kv, i)) for i in range(4)]
+    proofs_b = jax.tree.map(lambda *xs: jnp.stack(xs), *proofs)
+
+    names = ["c08_g_symmetric", "c14_norm_bound", "c15_az_vs_ct",
+             "c16_zz_vs_gcc", "c17_phiz_vs_hcc", "c18_agg_relation",
+             "c19_u1", "c20_u2", "c21_b_pp_const", "all"]
+    out = {}
+    for name in names:
+        @jax.jit
+        def one(proofs_b, salt, name=name):
+            def body(carry, pf):
+                rep = verifier.verify_report_impl(p, state, pf, crs)
+                return carry ^ jnp.int32(rep[name]), None
+            acc, _ = jax.lax.scan(body, salt, proofs_b)
+            return acc
+        _ = np.asarray(one(proofs_b, jnp.int32(0)))    # compile + warm
+        best = float("inf")
+        for i in range(2):
+            t0 = time.perf_counter()
+            _ = np.asarray(one(proofs_b, jnp.int32(i + 1)))  # no dedupe
+            best = min(best, (time.perf_counter() - t0) / 4)
+        out[name] = best
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
@@ -262,6 +364,10 @@ def main():
                     help="force the plain XLA polymul path")
     ap.add_argument("--batch-prove", type=int, default=0, metavar="B",
                     help="also measure vmapped proofs/s at batch B")
+    ap.add_argument("--batch-verify", type=int, default=0, metavar="B",
+                    help="also measure vmapped proofs-verified/s at batch B")
+    ap.add_argument("--verify-profile", action="store_true",
+                    help="also report per-check verifier cost attribution")
     ap.add_argument("--phases", action="store_true",
                     help="also report per-phase prover timings "
                          "(phase-dispatched, steady state)")
@@ -325,6 +431,17 @@ def main():
         pps = bench_batch_prove(batch=args.batch_prove)
         _stderr(f"batched prover throughput: {pps:.1f} proofs/s "
                 f"(batch={args.batch_prove})")
+
+    if args.batch_verify:
+        vps = bench_batch_verify(batch=args.batch_verify)
+        _stderr(f"batched verifier throughput: {vps:.1f} proofs/s "
+                f"(batch={args.batch_verify})")
+
+    if args.verify_profile:
+        prof = bench_verify_profile()
+        _stderr("per-check verifier profile (isolated DCE'd programs, "
+                "shared recompute double-counted): " +
+                ", ".join(f"{k}={v*1e3:.1f}ms" for k, v in prof.items()))
 
     if args.phases:
         timings = bench_phases()

@@ -51,6 +51,7 @@ def mod_pos(x: jax.Array, m) -> jax.Array:
     if isinstance(m, (int, np.integer)) and 1 < m <= P_MAX \
             and x.dtype == jnp.int32:
         m32, inv = np.int32(m), np.float32(1.0 / m)
+        m_min = int(m)
     elif isinstance(m, np.ndarray) and m.ndim == 1 \
             and x.ndim >= 1 and m.shape[0] == x.shape[0] \
             and (1 < m).all() and (m <= P_MAX).all() \
@@ -62,6 +63,7 @@ def mod_pos(x: jax.Array, m) -> jax.Array:
         m32 = m.astype(np.int32).reshape(bshape)
         inv = np.array([np.float32(1.0 / int(v)) for v in m],
                        np.float32).reshape(bshape)
+        m_min = int(m.min())
     else:
         if isinstance(m, np.ndarray) and m.ndim == 1:
             # A 1-D modulus vector that missed the fast path would silently
@@ -77,6 +79,13 @@ def mod_pos(x: jax.Array, m) -> jax.Array:
         return jnp.remainder(x, jnp.asarray(m, dtype=x.dtype))
     q1 = jnp.round(x.astype(jnp.float32) * inv).astype(jnp.int32)
     r1 = x - q1 * m32
+    if m_min > 1536:
+        # ONE-step suffices (round 5): |q1 - x/m| <= 0.5 + 3|x|*2^-24/m
+        # < 0.5 + 3*(2^31-2^20)*2^-24/1537 < 0.99, so |r1| < m — the int
+        # subtraction is exact regardless of fl(x)'s rounding, and one
+        # conditional add canonicalizes.  Halves the reduction cost for
+        # every CRT prime (~2^15) and every protocol q > 1536.
+        return jnp.where(r1 < 0, r1 + m32, r1)
     q2 = jnp.round(r1.astype(jnp.float32) * inv).astype(jnp.int32)
     r2 = r1 - q2 * m32
     r2 = jnp.where(r2 < 0, r2 + m32, r2)
