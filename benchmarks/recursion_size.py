@@ -20,8 +20,8 @@ def main():
     ap.add_argument("--n", type=int, default=16)
     ap.add_argument("--r", type=int, default=16)
     ap.add_argument("--kappa", type=int, default=256)
-    ap.add_argument("--kappa-new", type=int, default=16)
-    ap.add_argument("--mu", type=int, default=8)
+    ap.add_argument("--kappa-new", type=int, nargs="+", default=[16])
+    ap.add_argument("--mu", type=int, nargs="+", default=[8])
     ap.add_argument("--levels", type=int, default=1)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--big-q", action="store_true",
@@ -61,36 +61,46 @@ def main():
                           fs_proof_kb=round(size_fs / 1024, 1),
                           prove_s=round(t_prove, 2))), flush=True)
 
-    for lvl in range(1, args.levels + 1):
-        t0 = time.time()
-        p2, w2, st2, lay = recursion.fold(p, state, proof, crs, mu=args.mu,
-                                          kappa_new=args.kappa_new)
-        wait_for((w2, st2))
-        t_fold = time.time() - t0
-        crs2 = CRS.create(p2, seed=0xF01D + lvl)
-        t0 = time.time()
-        proof2 = prover.prove(p2, w2, st2, crs2,
-                              jax.random.fold_in(kv, lvl),
-                              decomp_mode="exact")
-        wait_for(proof2)
-        t_prove2 = time.time() - t0
-        assert bool(proof2.jl_ok) and bool(proof2.b_pp_ok)
-        t0 = time.time()
-        rep = verifier.verify_report(p2, st2, proof2, crs2,
-                                     decomp_mode="exact")
-        ok = bool(rep["all"])
-        t_verify2 = time.time() - t0
-        got2 = jax.device_get(proof2)
-        size2 = structs.transcript_size_in_bytes(got2, p2.q)
-        size2_fs = structs.transcript_size_in_bytes(got2, p2.q, fs=True)
-        print(json.dumps(dict(
-            level=lvl, n=p2.n, r=p2.r, k_families=p2.k_count,
-            witness_coeffs=p2.n * p2.r * p2.d,
-            proof_kb=round(size2 / 1024, 1),
-            fs_proof_kb=round(size2_fs / 1024, 1), fold_s=round(t_fold, 2),
-            prove_s=round(t_prove2, 2), verify_s=round(t_verify2, 2),
-            verified=ok)), flush=True)
-        p, state, proof, crs = p2, st2, proof2, crs2
+    # (mu, kappa') sweep from the SAME base proof: locates the size-vs-
+    # parameter optimum without re-proving/recompiling the base per cell.
+    # Multi-level folding follows the FIRST (mu, kappa') combination.
+    import itertools
+    combos = list(itertools.product(args.mu, args.kappa_new))
+    for ci, (mu, kappa_new) in enumerate(combos):
+        p1, state1, proof1, crs1 = p, state, proof, crs
+        for lvl in range(1, args.levels + 1):
+            t0 = time.time()
+            p2, w2, st2, lay = recursion.fold(p1, state1, proof1, crs1,
+                                              mu=mu, kappa_new=kappa_new)
+            wait_for((w2, st2))
+            t_fold = time.time() - t0
+            crs2 = CRS.create(p2, seed=0xF01D + lvl)
+            t0 = time.time()
+            proof2 = prover.prove(p2, w2, st2, crs2,
+                                  jax.random.fold_in(kv, 16 * ci + lvl),
+                                  decomp_mode="exact")
+            wait_for(proof2)
+            t_prove2 = time.time() - t0
+            assert bool(proof2.jl_ok) and bool(proof2.b_pp_ok)
+            t0 = time.time()
+            rep = verifier.verify_report(p2, st2, proof2, crs2,
+                                         decomp_mode="exact")
+            wait_for(rep)
+            ok = bool(rep["all"])
+            t_verify2 = time.time() - t0
+            got2 = jax.device_get(proof2)
+            size2 = structs.transcript_size_in_bytes(got2, p2.q)
+            size2_fs = structs.transcript_size_in_bytes(got2, p2.q, fs=True)
+            print(json.dumps(dict(
+                level=lvl, mu=mu, kappa_new=kappa_new,
+                n=p2.n, r=p2.r, k_families=p2.k_count,
+                witness_coeffs=p2.n * p2.r * p2.d,
+                proof_kb=round(size2 / 1024, 1),
+                fs_proof_kb=round(size2_fs / 1024, 1),
+                fold_s=round(t_fold, 2),
+                prove_s=round(t_prove2, 2), verify_s=round(t_verify2, 2),
+                verified=ok)), flush=True)
+            p1, state1, proof1, crs1 = p2, st2, proof2, crs2
 
 
 if __name__ == "__main__":

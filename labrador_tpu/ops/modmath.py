@@ -229,18 +229,32 @@ def modmul_mm_p(a: jax.Array, b: jax.Array, primes, *,
 
     bd = tuple(range(1 + extra_batch))
     dn = (((a.ndim - 1,), (b.ndim - 2,)), (bd, bd))
-    k = b.shape[-1]
-    # c = (256*b) mod p: b < 2^15 so b<<8 < 2^23 — one-step exact
-    c = mod_pos_small(b << 8, primes)
+    m, k = a.shape[-2], b.shape[-1]
     a_hi, a_lo = split_i8(a)
-    c_hi, c_lo = split_i8(c)
     b_hi, b_lo = split_i8(b)
-    a2 = jnp.concatenate([a_hi, a_lo], axis=-1)                # (..., m, 2n)
-    w = jnp.concatenate([jnp.concatenate([c_hi, b_hi], axis=-2),
-                         jnp.concatenate([c_lo, b_lo], axis=-2)],
-                        axis=-1)                               # (..., 2n, 2k)
-    d = _dot_i8(a2, w, dn)                                     # (..., m, 2k)
-    p1, p0 = d[..., :k], d[..., k:]
+    if m <= k:
+        # DUAL fold — 256 folded into the a side (a @ b = c_a @ b_hi-part):
+        # the shift+reduce+extra-splits prep runs on the SMALLER operand
+        # (the verifier is full of m=1 vector-matrix products where b-side
+        # prep would dominate).  P1/P0 stack on the M axis.
+        c = mod_pos_small(a << 8, primes)
+        c_hi, c_lo = split_i8(c)
+        a2 = jnp.concatenate(
+            [jnp.concatenate([c_hi, a_hi], axis=-1),
+             jnp.concatenate([c_lo, a_lo], axis=-1)], axis=-2)  # (..,2m,2n)
+        w = jnp.concatenate([b_hi, b_lo], axis=-2)              # (..,2n, k)
+        d = _dot_i8(a2, w, dn)                                  # (..,2m, k)
+        p1, p0 = d[..., :m, :], d[..., m:, :]
+    else:
+        # c = (256*b) mod p: b < 2^15 so b<<8 < 2^23 — one-step exact
+        c = mod_pos_small(b << 8, primes)
+        c_hi, c_lo = split_i8(c)
+        a2 = jnp.concatenate([a_hi, a_lo], axis=-1)            # (..., m, 2n)
+        w = jnp.concatenate([jnp.concatenate([c_hi, b_hi], axis=-2),
+                             jnp.concatenate([c_lo, b_lo], axis=-2)],
+                            axis=-1)                           # (..., 2n, 2k)
+        d = _dot_i8(a2, w, dn)                                 # (..., m, 2k)
+        p1, p0 = d[..., :k], d[..., k:]
     if n <= PACK_T1:
         return mod_pos((p1 << 8) + p0, primes)
     if n <= PACK_T2:

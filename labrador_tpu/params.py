@@ -261,18 +261,24 @@ class LabradorParams:
             # Digit populations (protocol.decompose_*, exact mode):
             #   z: ceil_log_b(q) digits base b over (n, d)
             #   t: t_1 digits base b_1 over (r, kappa, d)
-            #   g: t_2 digits base b_2 over tri(r) * d
-            #   h: t_1 digits base b_1 over tri(r) * d
+            #   g: t_2 digits base b_2 over the FULL (r, r, d) matrix
+            #   h: t_1 digits base b_1 over the FULL (r, r, d) matrix
+            # g/h counts are DENSE (r^2, off-diagonals twice): Check 14
+            # sums the full symmetric matrices exactly as the reference
+            # does (verification.rs:240-255 loops i in 0..R, j in 0..R) —
+            # rounds 1-4 budgeted only the triangle here, which realistic
+            # big-q witnesses exceed once the g/h share of the sum grows
+            # (caught by the round-5 2^14 big-q sweep: measured g/h digit
+            # sums were (r^2+r)/2 : r^2 above the triangle budget).
             # (In exact mode Check 14 ALSO enforces ||z||^2 <= 2*gamma
             # directly — the paper's real extraction norm bound, which the
             # digit bound alone cannot express; see verifier.check14.)
-            tri = r * (r + 1) // 2
             nz = _ceil_log(q, b)
             budget = (
                 _digit_budget_sq(q, b, nz, n * d)
                 + _digit_budget_sq(q, b_1, t_1, r * kappa * d)
-                + _digit_budget_sq(q, b_2, t_2, tri * d)
-                + _digit_budget_sq(q, b_1, t_1, tri * d)
+                + _digit_budget_sq(q, b_2, t_2, r * r * d)
+                + _digit_budget_sq(q, b_1, t_1, r * r * d)
             )
             bp_int = int(math.ceil(budget * 4.0 / 3.0))
             assert bp_int < 2**53, "beta'^2 exceeds f64 integer range"
