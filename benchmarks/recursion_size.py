@@ -76,17 +76,30 @@ def main():
             t_fold = time.time() - t0
             crs2 = CRS.create(p2, seed=0xF01D + lvl)
             t0 = time.time()
-            proof2 = prover.prove(p2, w2, st2, crs2,
-                                  jax.random.fold_in(kv, 16 * ci + lvl),
-                                  decomp_mode="exact")
+            try:
+                # phase-split (3 smaller programs): the monolithic folded
+                # prove at kappa>=256 bases OOMs the remote AOT compile
+                # helper (same class as the 2^20 (128,128) shape)
+                proof2 = prover.prove_checkpointed(
+                    p2, w2, st2, crs2, jax.random.fold_in(kv, 16 * ci + lvl),
+                    decomp_mode="exact")
+            except Exception as e:
+                print(json.dumps(dict(
+                    level=lvl, mu=mu, kappa_new=kappa_new, n=p2.n, r=p2.r,
+                    error=f"{type(e).__name__}: {str(e)[:200]}")),
+                    flush=True)
+                break
             wait_for(proof2)
             t_prove2 = time.time() - t0
             assert bool(proof2.jl_ok) and bool(proof2.b_pp_ok)
             t0 = time.time()
-            rep = verifier.verify_report(p2, st2, proof2, crs2,
-                                         decomp_mode="exact")
-            wait_for(rep)
-            ok = bool(rep["all"])
+            try:
+                rep = verifier.verify_report(p2, st2, proof2, crs2,
+                                             decomp_mode="exact")
+                wait_for(rep)
+                ok = bool(rep["all"])
+            except Exception as e:
+                ok = f"verify-compile-failed: {type(e).__name__}"
             t_verify2 = time.time() - t0
             got2 = jax.device_get(proof2)
             size2 = structs.transcript_size_in_bytes(got2, p2.q)

@@ -499,7 +499,11 @@ def ajtai_commit(crs, s_hat: jax.Array, params: LabradorParams,
     block of A, computes its slice of t, and an all_gather over ``ctx.axis``
     assembles the transcript tensor."""
     if use_pallas and ctx is None \
-            and type(crs).__name__ != "MaterializedCRS":
+            and type(crs).__name__ != "MaterializedCRS" \
+            and params.n * params.d <= (1 << 16):
+        # n*d above 2^16 exceeds the fused kernel's raw-int32 limb
+        # accumulation bound (ops/ajtai_pallas) — folded recursion
+        # instances at kappa>=256 bases land there; stream via XLA instead.
         from .ops.ajtai_pallas import ajtai_commit_pallas
         if s_coeff is None:
             s_coeff = ntt_ops.ntt_inv_modq(s_hat, plan)

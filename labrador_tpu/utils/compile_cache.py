@@ -103,10 +103,21 @@ def enable_persistent_cache(min_compile_secs: float = 1.0,
 
     def put_gated(cache_key, module_name, executable, backend, compile_time):
         """Mirror of ``put_executable_and_time`` minus logging; drops
-        entries whose compressed blob exceeds the gate."""
+        entries whose compressed blob exceeds the gate.  Also skips the
+        write entirely under memory pressure: ``executable.serialize()``
+        itself segfaulted once mid-suite at high RSS (round 5,
+        bench_logs/suite segv in put_gated) — a cache miss next run is
+        strictly better than a crashed suite."""
         cache = _cc._get_cache(backend)
         if cache is None:
             return
+        try:
+            with open("/proc/self/statm") as f:
+                rss_bytes = int(f.read().split()[1]) * os.sysconf("SC_PAGE_SIZE")
+            if rss_bytes > 5 << 30:
+                return
+        except (OSError, ValueError, IndexError):
+            pass
         serialized = executable.serialize()
         executable_and_time = _cc.combine_executable_and_time(
             serialized, compile_time)
