@@ -500,10 +500,15 @@ def ajtai_commit(crs, s_hat: jax.Array, params: LabradorParams,
     assembles the transcript tensor."""
     if use_pallas and ctx is None \
             and type(crs).__name__ != "MaterializedCRS" \
-            and params.n * params.d <= (1 << 16):
-        # n*d above 2^16 exceeds the fused kernel's raw-int32 limb
-        # accumulation bound (ops/ajtai_pallas) — folded recursion
-        # instances at kappa>=256 bases land there; stream via XLA instead.
+            and params.n * params.d <= (1 << 16) \
+            and (s_hat.shape[1] == 1
+                 or (s_hat.shape[1] * params.d) % 128 == 0):
+        # Two fused-kernel shape limits (folded recursion instances land
+        # outside both; stream via XLA instead): n*d above 2^16 exceeds
+        # the raw-int32 limb accumulation bound (ops/ajtai_pallas), and an
+        # odd r_eff makes the kernel's (.., r_eff*d) scratch last-dim not
+        # 128-divisible (Pallas TPU lowering rejects it; r_eff=1 works as
+        # the dim equals the whole array).
         from .ops.ajtai_pallas import ajtai_commit_pallas
         if s_coeff is None:
             s_coeff = ntt_ops.ntt_inv_modq(s_hat, plan)

@@ -436,6 +436,28 @@ def _ring_mul_modq(a, b, plan):
     return ntt_ops.negacyclic_polymul(a, b, plan)
 
 
+def _scale_many_modq(x, w: np.ndarray, plan, q: int):
+    """x (..., d) canonical x STATIC integer weight table w (numpy object/
+    int array broadcastable against x.shape[:-1]) -> canonical mod q.
+
+    One vectorized reduction for a whole weight table — replaces the
+    per-(i, j, k) `_scale_modq` unrolls whose ~1000 dynamic-update-slice
+    subgraphs made the folded-instance prover OOM the remote AOT compile
+    helper (round 5)."""
+    w = np.vectorize(lambda v: int(v) % q, otypes=[object])(np.asarray(w))
+    if not zq_ops.is_big(q):
+        w32 = jnp.asarray(w.astype(np.int64), jnp.int32)[..., None]
+        return mod_pos(x * w32, q)
+    res = zq_ops.to_res(x, plan.primes)                 # (P, ..., d)
+    wr = np.stack([np.vectorize(lambda v: int(v) % int(pr),
+                                otypes=[np.int64])(w)
+                   for pr in plan.primes]).astype(np.int32)  # (P, ...)
+    pv = np.asarray(plan.primes)
+    bshape = (wr.shape[0],) + (1,) * (res.ndim - 2 - w.ndim) + w.shape + (1,)
+    out = mod_pos(res * jnp.asarray(wr).reshape(bshape), pv)
+    return zq_ops.fold_res_modq(out, plan, signed=False)
+
+
 def _contract_rows_hat(w_hat: jax.Array, m_hat: jax.Array, plan) -> jax.Array:
     """sum_rho w[rho] * M[rho, col] in eval domain.
     w_hat: (P, R, d); m_hat: (P, R, C, d)  ->  (P, C, d)."""
@@ -636,26 +658,33 @@ class FoldedState:
                                  aC_hat, p0.t_1, p0, plan)
         h_base = zq_ops.sub(zq_ops.zeros((p0.r, p0.r, d), q),
                             _ring_mul_modq(a17, self.cc, plan), q)
-        tri = 0
-        for i in range(p0.r):
-            for j in range(i, p0.r):
-                mult = 1 if i == j else 2
-                for k in range(p0.t_2):
-                    val = zq_ops.add(
-                        zq_ops.index(s_c, (tri, k)),
-                        _scale_modq(zq_ops.index(g_base, (i, j)),
-                                    mult * b2pow[k], plan, q), q)
-                    flat = setblk(flat, lay.g_pos(i, j, k), val)
-                for k in range(p0.t_1):
-                    val = zq_ops.add(
-                        zq_ops.index(s_d, (tri, k)),
-                        _scale_modq(zq_ops.index(h_base, (i, j)),
-                                    mult * b1pow[k], plan, q), q)
-                    if i == j:
-                        val = zq_ops.add(
-                            val, _scale_modq(a18, b1pow[k], plan, q), q)
-                    flat = setblk(flat, lay.h_pos(i, j, k), val)
-                tri += 1
+        # whole-triangle vectorized (round 5): the former per-(i, j, k)
+        # loop emitted ~tri*(t_1+t_2) dynamic-update-slice subgraphs —
+        # ~1000 at r=16 — which OOM-killed the remote AOT compile helper
+        # for every kappa=256-base folded instance.  The g/h layout is
+        # contiguous (tri-major, digit-minor), so each section is ONE
+        # batched scale-add and ONE slice write.
+        iu, ju = np.triu_indices(p0.r)
+        n_tri = iu.shape[0]
+        mult = np.where(iu == ju, 1, 2).astype(object)
+        wg = mult[:, None] * np.asarray(b2pow, object)[None, :]  # (tri,t2)
+        wh = mult[:, None] * np.asarray(b1pow, object)[None, :]  # (tri,t1)
+        wdiag = (iu == ju).astype(object)[:, None] \
+            * np.asarray(b1pow, object)[None, :]
+        g_tri = zq_ops.reshape(zq_ops.index(g_base, (iu, ju)),
+                               (n_tri, 1, d))
+        h_tri = zq_ops.reshape(zq_ops.index(h_base, (iu, ju)),
+                               (n_tri, 1, d))
+        vals_g = zq_ops.add(s_c, _scale_many_modq(g_tri, wg, plan, q), q)
+        vals_h = zq_ops.add(s_d, _scale_many_modq(h_tri, wh, plan, q), q)
+        vals_h = zq_ops.add(vals_h, _scale_many_modq(
+            zq_ops.reshape(a18, (1, 1, d)), wdiag, plan, q), q)
+        g0s = lay.garbage_pos(lay._tri_base())
+        flat = setblk(flat, slice(g0s, g0s + n_tri * p0.t_2),
+                      zq_ops.reshape(vals_g, (n_tri * p0.t_2, d)))
+        h0s = g0s + n_tri * p0.t_2
+        flat = setblk(flat, slice(h0s, h0s + n_tri * p0.t_1),
+                      zq_ops.reshape(vals_h, (n_tri * p0.t_1, d)))
         return zq_ops.reshape(flat, (lay.r_new, lay.n_new, d))
 
     def a_alpha_modq(self, alpha):
