@@ -380,12 +380,13 @@ def main():
     import jax
     _stderr(f"devices: {jax.devices()}")
 
-    # default: the XLA CRT-NTT path — since the prime-axis vectorization it
-    # beats the fused Pallas kernel for PAIRWISE products on chip (40.1M vs
-    # 34.2M ops/s, round 4); --pallas opts into the fused kernel (which
-    # still wins for the shared-operand commitment matmuls, see PERF.md)
+    # default: the paired-lane fused Pallas kernel on real TPUs (188.5M
+    # vs 163.2M ops/s for the XLA path, round 5 — the fused kernel keeps
+    # every stage in VMEM and every elementwise op on full 128 lanes);
+    # --no-pallas opts into the plain XLA CRT-NTT path, and CPU runs
+    # always use XLA (the kernel is TPU-lowered).
     on_tpu = jax.devices()[0].platform != "cpu"
-    use_pallas = args.pallas and not args.no_pallas
+    use_pallas = (on_tpu or args.pallas) and not args.no_pallas
     if on_tpu:
         # ~0.5-1 s of device work per dispatch at the observed ~6 G/s
         # steady state, so the per-dispatch fetch round-trip is noise
