@@ -49,7 +49,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .ntt import NttPlan
 from .modmath import P_MAX, mod_pos
 
-BLOCK = 512   # polynomial PAIRS per grid step (= 1024 polynomials)
+BLOCK = 1024  # polynomial PAIRS per grid step (= 2048 polynomials)
 
 
 def _split_np_i8(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
