@@ -178,20 +178,46 @@ def prove_phase2(params: LabradorParams, witness: jax.Array, state: State,
                  ctx: protocol.AxisCtx | None = None):
     """Protocol steps 4-8: JL projection, both aggregations, h, u2.
 
-    kernel_backend as in prove_phase1 (drives the fused u2 kernel)."""
-    p = params
-    plan = ntt_ops.plan_for(p)
-    kernel_backend = resolve_backend(kernel_backend)
-    s_hat = ntt_ops.ntt_fwd(witness, plan)
-    g, u_1 = ph1["g"], ph1["u_1"]
+    Composition of prove_phase2a (step 4: JL) and prove_phase2b (steps
+    5-8) — the checkpointed runner dispatches the halves as separate
+    programs (the JL retry graph carries (r, 256, n*d) ternary operands
+    that pushed the (128,128) 2^20 shape's phase-2 program over the
+    remote AOT compile helper's memory, round 5), while the fused prover
+    traces them as one.  kernel_backend as in prove_phase1 (drives the
+    fused u2 kernel)."""
+    ost, ph2a = prove_phase2a(params, witness, state, crs, oracle, ost, ph1)
+    ost, ph2b = prove_phase2b(params, witness, state, crs, oracle, ost,
+                              ph1, ph2a, decomp_mode, kernel_backend, ctx)
+    return ost, {**ph2a, **ph2b}
 
-    # -- step 4: JL projection with retries (proofgen.rs:161-186)
+
+def prove_phase2a(params: LabradorParams, witness: jax.Array, state: State,
+                  crs, oracle, ost, ph1: dict):
+    """Protocol step 4: JL projection with retries (proofgen.rs:161-186)
+    plus its transcript absorbs."""
+    p = params
+    u_1 = ph1["u_1"]
     ost = oracle.absorb(ost, DOM_U1, jax.tree.leaves(u_1))
     witness_flat = witness.reshape(p.r, p.n * p.d)
     pi, proj_int, jl_ok = _jl_with_retries(
         oracle.challenge_key(ost, TAG_JL), witness_flat, p)
     projection = zq_ops.from_signed(proj_int, p.q)        # lift (proofgen.rs:186)
     ost = oracle.absorb(ost, DOM_JL, jax.tree.leaves([pi, projection]))
+    return ost, dict(pi=pi, projection=projection, jl_ok=jl_ok)
+
+
+def prove_phase2b(params: LabradorParams, witness: jax.Array, state: State,
+                  crs, oracle, ost, ph1: dict, ph2a: dict,
+                  decomp_mode: str = "reference",
+                  kernel_backend: str = "auto",
+                  ctx: protocol.AxisCtx | None = None):
+    """Protocol steps 5-8: both aggregations, h, u2."""
+    p = params
+    plan = ntt_ops.plan_for(p)
+    kernel_backend = resolve_backend(kernel_backend)
+    s_hat = ntt_ops.ntt_fwd(witness, plan)
+    g, u_1 = ph1["g"], ph1["u_1"]
+    pi, projection = ph2a["pi"], ph2a["projection"]
 
     # -- step 5: first aggregation (proofgen.rs:189-289)
     ub = p.upper_bound
@@ -266,9 +292,8 @@ def prove_phase2(params: LabradorParams, witness: jax.Array, state: State,
     h_dig = protocol.decompose_h(h, p, decomp_mode)
     u_2 = protocol.u2_from_digits(crs, h_dig, p, plan, ctx=ctx,
                                   use_pallas=(kernel_backend == "pallas"))
-    return ost, dict(pi=pi, projection=projection, psi=psi, omega=omega,
-                     b_prime_prime=b_pp, alpha=alpha, beta=beta, u_2=u_2,
-                     jl_ok=jl_ok, b_pp_ok=b_pp_ok, h=h)
+    return ost, dict(psi=psi, omega=omega, b_prime_prime=b_pp, alpha=alpha,
+                     beta=beta, u_2=u_2, b_pp_ok=b_pp_ok, h=h)
 
 
 def prove_phase3(params: LabradorParams, witness: jax.Array,
@@ -354,11 +379,16 @@ def _jit_phase1(params, witness, state, crs, oracle, ost, decomp_mode,
                         decomp_mode, kernel_backend)
 
 
+@partial(jax.jit, static_argnames=("params",))
+def _jit_phase2a(params, witness, state, crs, oracle, ost, ph1):
+    return prove_phase2a(params, witness, state, crs, oracle, ost, ph1)
+
+
 @partial(jax.jit, static_argnames=("params", "decomp_mode", "kernel_backend"))
-def _jit_phase2(params, witness, state, crs, oracle, ost, ph1, decomp_mode,
-                kernel_backend):
-    return prove_phase2(params, witness, state, crs, oracle, ost, ph1,
-                        decomp_mode, kernel_backend)
+def _jit_phase2b(params, witness, state, crs, oracle, ost, ph1, ph2a,
+                 decomp_mode, kernel_backend):
+    return prove_phase2b(params, witness, state, crs, oracle, ost, ph1,
+                         ph2a, decomp_mode, kernel_backend)
 
 
 @partial(jax.jit, static_argnames=("params",))
@@ -424,9 +454,16 @@ def prove_checkpointed(params: LabradorParams, witness: jax.Array,
                             ost=ost, ph1=ph1)
     if done < 2:
         with timer.phase("p2_jl_aggregation_u2"):
-            ost, ph2 = _jit_phase2(p, witness, state, crs, oracle, ost, ph1,
-                                   decomp_mode, kernel_backend)
-            profiling.wait_for(ph2)
+            # two programs: the JL retry graph alone (2a) then the
+            # aggregations/h/u2 (2b) — keeps each under the remote AOT
+            # compile helper's memory at the largest shapes (round 5)
+            ost, ph2a = _jit_phase2a(p, witness, state, crs, oracle, ost,
+                                     ph1)
+            profiling.wait_for(ph2a)
+            ost, ph2b = _jit_phase2b(p, witness, state, crs, oracle, ost,
+                                     ph1, ph2a, decomp_mode, kernel_backend)
+            profiling.wait_for(ph2b)
+            ph2 = {**ph2a, **ph2b}
         if ckpt_path:
             checkpoint.save(ckpt_path, meta=dict(phases_done=2),
                             ost=ost, ph1=ph1, ph2=ph2)
